@@ -1,0 +1,124 @@
+"""Segmentation losses (reference: ptsemseg/loss/loss.py, loss/__init__.py).
+
+Logits are NHWC ``(B, H, W, C)``; targets ``(B, H, W)`` int. Semantics match
+the reference:
+
+- ``cross_entropy2d`` — bilinearly upsamples logits to the label size when they
+  disagree (align_corners=True in the reference, loss.py:11 — replicated with
+  an aligned-corner resize), ignores pixels labelled 250, and mean-reduces
+  over non-ignored pixels (torch ``size_average=True``).
+- ``multi_scale_cross_entropy2d`` — tuple input weighted 1.0/0.4/0.16...
+- ``bootstrapped_cross_entropy2d`` — per-image top-K pixel loss.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_INDEX = 250
+
+
+def _resize_logits_align_corners(logits: jnp.ndarray, ht: int, wt: int) -> jnp.ndarray:
+    """Bilinear resize with corner alignment (torch align_corners=True)."""
+    b, h, w, c = logits.shape
+    if (h, w) == (ht, wt):
+        return logits
+    ys = jnp.linspace(0.0, h - 1.0, ht)
+    xs = jnp.linspace(0.0, w - 1.0, wt)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    g = lambda yi, xi: logits[:, yi][:, :, xi]
+    top = g(y0, x0) * (1 - wx) + g(y0, x1) * wx
+    bot = g(y1, x0) * (1 - wx) + g(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def cross_entropy2d(
+    input: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: jnp.ndarray | None = None,
+    size_average: bool = True,
+) -> jnp.ndarray:
+    """Pixelwise cross-entropy (reference: loss/loss.py:5-19)."""
+    ht, wt = target.shape[-2:]
+    logits = _resize_logits_align_corners(input, ht, wt)
+    c = logits.shape[-1]
+    logits = logits.reshape(-1, c)
+    tgt = target.reshape(-1)
+    valid = tgt != IGNORE_INDEX
+    safe_tgt = jnp.where(valid, tgt, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_tgt[:, None], axis=-1)[:, 0]
+    if weight is not None:
+        w = weight[safe_tgt]
+        nll = nll * w
+        denom = jnp.sum(w * valid)
+    else:
+        denom = jnp.sum(valid)
+    nll = jnp.where(valid, nll, 0.0)
+    if size_average:
+        return jnp.sum(nll) / jnp.maximum(denom, 1.0)
+    return jnp.sum(nll)
+
+
+def multi_scale_cross_entropy2d(
+    input, target, weight=None, size_average=True, scale_weight=None
+):
+    """Aux-head weighted sum (reference: loss/loss.py:22-37)."""
+    if not isinstance(input, (tuple, list)):
+        return cross_entropy2d(input, target, weight, size_average)
+    n_inp = len(input)
+    if scale_weight is None:
+        scale_weight = [0.4 ** i for i in range(n_inp)]
+    loss = 0.0
+    for w, inp in zip(scale_weight, input):
+        loss = loss + w * cross_entropy2d(inp, target, weight, size_average)
+    return loss
+
+
+def bootstrapped_cross_entropy2d(
+    input, target, K: int, weight=None, size_average=True
+):
+    """Per-image top-K hardest-pixel loss (reference: loss/loss.py:40-68)."""
+
+    def one(inp, tgt):
+        c = inp.shape[-1]
+        logits = inp.reshape(-1, c)
+        t = tgt.reshape(-1)
+        valid = t != IGNORE_INDEX
+        safe = jnp.where(valid, t, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        nll = jnp.where(valid, nll, 0.0)
+        topk = jax.lax.top_k(nll, K)[0]
+        return jnp.sum(topk) / K
+
+    losses = jax.vmap(one)(input, target)
+    return jnp.mean(losses)
+
+
+KEY2LOSS: dict[str, Callable] = {
+    "cross_entropy": cross_entropy2d,
+    "bootstrapped_cross_entropy": bootstrapped_cross_entropy2d,
+    "multi_scale_cross_entropy": multi_scale_cross_entropy2d,
+}
+
+
+def get_loss_function(cfg) -> Callable:
+    """Loss registry (reference: loss/__init__.py:20-34)."""
+    loss_dict = cfg["training"].get("loss")
+    if loss_dict is None:
+        return cross_entropy2d
+    name = loss_dict["name"]
+    if name not in KEY2LOSS:
+        raise NotImplementedError(f"Loss {name} not implemented")
+    params = {k: v for k, v in loss_dict.items() if k != "name"}
+    return functools.partial(KEY2LOSS[name], **params)

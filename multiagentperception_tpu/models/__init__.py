@@ -1,0 +1,74 @@
+"""Model registry (reference: ptsemseg/models/__init__.py:8-101)."""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from multiagentperception_tpu.models.agents import (
+    AllAgents,
+    LearnWhen2Com,
+    LearnWho2Com,
+    MIMOAllAgents,
+    MIMOcom,
+    MIMOcomWho,
+    SingleAgent,
+)
+
+MODELS = {
+    "Single_agent": SingleAgent,
+    "All_agents": AllAgents,
+    "MIMO_All_agents": MIMOAllAgents,
+    "LearnWho2Com": LearnWho2Com,
+    "LearnWhen2Com": LearnWhen2Com,
+    "MIMOcom": MIMOcom,
+    "MIMOcomWho": MIMOcomWho,
+}
+
+
+def get_model(cfg: Mapping[str, Any], n_classes: int):
+    """Build a model from a reference-schema config dict.
+
+    Mirrors the constructor plumbing of the reference registry
+    (models/__init__.py:8-86) — same config keys, same per-arch argument
+    selection.
+    """
+    m = cfg["model"]
+    name = m["arch"]
+    if name not in MODELS:
+        raise KeyError(f"Model {name} not available")
+
+    common = dict(
+        n_classes=n_classes,
+        feat_channel=m.get("feat_channel", 512),
+        feat_squeezer=m.get("feat_squeezer", -1),
+        enc_backbone=m["enc_backbone"],
+        dec_backbone=m["dec_backbone"],
+    )
+    if name == "Single_agent":
+        return SingleAgent(**common)
+    if name == "All_agents":
+        return AllAgents(
+            shuffle_flag=m.get("shuffle_features"),
+            agent_num=m["agent_num"],
+            **common,
+        )
+    if name == "MIMO_All_agents":
+        return MIMOAllAgents(
+            shuffle_flag=m.get("shuffle_features"),
+            agent_num=m["agent_num"],
+            **common,
+        )
+    comm = dict(
+        attention=m["attention"],
+        has_query=m["query"],
+        sparse=m["sparse"],
+        agent_num=m["agent_num"],
+        shared_img_encoder=m["shared_img_encoder"],
+        query_size=m["query_size"],
+        key_size=m["key_size"],
+        **common,
+    )
+    return MODELS[name](**comm)
+
+
+__all__ = ["MODELS", "get_model"] + list(MODELS)

@@ -1,0 +1,150 @@
+"""Encoder/decoder backbones (reference: ptsemseg/models/backbone.py).
+
+All shipped reference configs use ``resnet_encoder`` (random-init ResNet-18
+trunk, backbone.py:58-96) and ``simple_decoder`` (backbone.py:143-164); the
+SegNet-style pair is kept for registry parity. The broken ``FCN_decoder``
+(undefined ``base_4``, backbone.py:179) is re-implemented *working* here —
+conv head + bilinear upsample to input resolution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multiagentperception_tpu.models.blocks import (
+    BN_EPS,
+    BN_MOMENTUM,
+    BasicBlock,
+    ConvBNRelu,
+    DeconvBNRelu,
+    conv_init,
+)
+
+
+class NSegnetEncoder(nn.Module):
+    """13 conv-BN-relu layers, five stride-2 downsamples -> 512ch @ 1/32
+    (reference: backbone.py:12-55)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        plan = [  # (features, stride)
+            (64, 1), (64, 2),
+            (128, 1), (128, 2),
+            (256, 1), (256, 1), (256, 2),
+            (512, 1), (512, 1), (512, 2),
+            (512, 1), (512, 1), (512, 2),
+        ]
+        for feats, stride in plan:
+            x = ConvBNRelu(feats, 3, stride)(x, train)
+        return x
+
+
+class ResnetEncoder(nn.Module):
+    """ResNet-18 trunk conv1..layer4, random init -> 512ch @ 1/32
+    (reference: backbone.py:58-96; every shipped config's encoder)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, kernel_init=conv_init)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for features, strides in [(64, 1), (128, 2), (256, 2), (512, 2)]:
+            x = BasicBlock(features, strides)(x, train)
+            x = BasicBlock(features, 1)(x, train)
+        return x
+
+
+class NSegnetDecoder(nn.Module):
+    """12 deconv/conv-BN-relu layers, five x2 upsamples -> n_classes
+    (reference: backbone.py:99-140)."""
+
+    n_classes: int = 11
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        plan = [  # (deconv?, features)
+            (True, 512), (False, 512), (False, 512),
+            (True, 512), (False, 512), (False, 256),
+            (True, 256), (False, 128),
+            (True, 128), (False, 64),
+            (True, 64), (False, self.n_classes),
+        ]
+        for is_deconv, feats in plan:
+            if is_deconv:
+                x = DeconvBNRelu(feats)(x, train)
+            else:
+                x = ConvBNRelu(feats, 3, 1)(x, train)
+        return x
+
+
+class SimpleDecoder(nn.Module):
+    """conv(->256) relu conv(->n_classes), then x32 bilinear upsample
+    (reference: backbone.py:143-164; every shipped config's decoder).
+
+    The upsample uses half-pixel-centered bilinear resize, the same geometry
+    as torch ``interpolate(..., align_corners=False)`` (backbone.py:160).
+    """
+
+    n_classes: int = 11
+    upsample: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = nn.Conv(256, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.n_classes, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        b, h, w, c = x.shape
+        return jax.image.resize(
+            x, (b, h * self.upsample, w * self.upsample, c), method="bilinear"
+        )
+
+
+class FCNDecoder(nn.Module):
+    """Conv head + bilinear upsample (registered in the reference but broken
+    there — undefined ``base_4`` at backbone.py:179; implemented working)."""
+
+    n_classes: int = 11
+    upsample: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = nn.Conv(256, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.n_classes, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        b, h, w, c = x.shape
+        return jax.image.resize(
+            x, (b, h * self.upsample, w * self.upsample, c), method="bilinear"
+        )
+
+
+ENCODERS = {
+    "n_segnet_encoder": NSegnetEncoder,
+    "resnet_encoder": ResnetEncoder,
+}
+
+DECODERS = {
+    "n_segnet_decoder": NSegnetDecoder,
+    "simple_decoder": SimpleDecoder,
+    "FCN_decoder": FCNDecoder,
+}
+
+
+def get_encoder(name: str):
+    """Encoder registry (reference: agent.py:16-23)."""
+    try:
+        return ENCODERS[name]
+    except KeyError:
+        raise KeyError(f"Encoder {name} not available") from None
+
+
+def get_decoder(name: str):
+    """Decoder registry (reference: agent.py:26-35)."""
+    try:
+        return DECODERS[name]
+    except KeyError:
+        raise KeyError(f"Decoder {name} not available") from None
