@@ -298,7 +298,10 @@ class LearnWhen2Com(nn.Module):
             # links to non-self agents per sample (agent.py:800-809)
             num_connect = jnp.sum(act[:, :, 1:] != 0).astype(jnp.float32) / b
             pred = decoder(jax.lax.stop_gradient(feat_act), train)
-            return pred, act, action, num_connect
+            # third output is the activated weight matrix, matching the
+            # reference contract (agent.py:866-869: pred, prob, action, nc
+            # where action == thresholded W)
+            return pred, prob_action, act, num_connect
         raise ValueError(f"Incorrect inference mode {inference!r}")
 
 

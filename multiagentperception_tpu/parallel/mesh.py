@@ -1,0 +1,77 @@
+"""Device mesh + sharding rules (replaces the reference's nn.DataParallel,
+train.py:177).
+
+The reference's only parallelism is single-process multi-GPU DataParallel
+scatter/gather (SURVEY.md §2.7). The TPU-native design is SPMD over a
+``jax.sharding.Mesh`` with two axes:
+
+- ``data``: batch-dim sharding (DP). Per-batch inputs are sharded over ICI;
+  gradients all-reduce with XLA-inserted ``psum``.
+- ``model``: optional tensor parallelism for the widest weights — the conv
+  towers' output-channel dim and the km_generator/attention Dense kernels —
+  applied only where the axis divides evenly, everything else replicated.
+  N<=6-agent models don't *need* TP, but the axis is first-class so the same
+  train step scales to larger meshes (SURVEY.md §7).
+
+The inter-agent "communication" itself stays an on-chip attention einsum —
+it is simulated message passing, not a cross-device collective
+(reference keeps it as a bmm inside one process, agent.py:252-286).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n_total = len(devices)
+    if n_data is None:
+        n_data = n_total // n_model
+    if n_data * n_model != n_total:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} != {n_total} devices"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _spec_for_param(path: tuple, value) -> P:
+    """Sharding rule for one parameter.
+
+    Conv/Dense kernels shard their output-channel (last) dim over 'model'
+    when it divides evenly and is large enough to be worth it; biases, BN
+    scales and small tensors replicate.
+    """
+    if value.ndim >= 2:
+        return P(*([None] * (value.ndim - 1) + ["model"]))
+    return P()
+
+
+def param_shardings(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
+    """NamedShardings for a parameter PyTree under the (data, model) mesh."""
+    n_model = mesh.shape["model"]
+
+    def rule(path, value):
+        if n_model == 1:
+            return NamedSharding(mesh, P())
+        spec = _spec_for_param(path, value)
+        # only shard if the sharded dim divides evenly
+        if spec != P() and value.shape[-1] % n_model == 0 and value.shape[-1] >= 64:
+            return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)

@@ -1,0 +1,559 @@
+"""Trainers (reference: ptsemseg/trainer.py, 8 near-identical classes).
+
+One parametrized :class:`Trainer` drives every architecture; thin subclasses
+``Trainer_<Arch>`` keep the reference's public surface (``.train() ->
+save_path``, ``.load_weight(path)``, ``.evaluate(loader[, inference_mode])``).
+
+TPU-native structure instead of the reference's per-batch Python loop body:
+
+- the whole optimization step (forward incl. BN stat updates, loss, backward,
+  optimizer update) is ONE jitted function ``(state, batch) -> (state,
+  metrics)`` with donated state buffers;
+- evaluation computes the confusion matrices and predictions on device
+  (``ops.confusion_matrix`` one-hot matmuls); per batch the host reads back
+  three (C, C) histograms + tiny action arrays instead of full label maps;
+- DP/TP sharding: with a mesh, state is replicated / model-sharded once and
+  batches are placed with a batch sharding; XLA inserts the gradient psum
+  over ICI (replaces nn.DataParallel, train.py:177).
+
+Behavioral parity notes (SURVEY.md §2.1): n_classes is fixed at 11 like every
+reference trainer (trainer.py:44 etc.); in-training validation runs the
+soft-fusion forward in BN-eval mode (reference: model.eval() +
+training=True forward, trainer.py:694-722); per-arch eval defaults —
+who2com 'argmax_test', when2com/MIMO 'activated' (trainer.py:251, 526, 774).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from multiagentperception_tpu.checkpoint import load_checkpoint, save_checkpoint
+from multiagentperception_tpu.metrics import averageMeter, runningScore
+from multiagentperception_tpu.ops.comm import confusion_matrix
+from multiagentperception_tpu.parallel.mesh import (
+    batch_sharding,
+    param_shardings,
+    replicate_sharding,
+)
+from multiagentperception_tpu.utils import init_variables
+
+N_CLASSES = 11  # hard-coded in every reference trainer (trainer.py:44, ...)
+
+# arch families
+_COMM_4TUPLE = {"MIMOcom", "MIMOcomWho"}  # forward returns (pred, prob, action, nc)
+_COMM_SRMS = {"LearnWho2Com", "LearnWhen2Com"}
+_SELECTION = {"All_agents", "MIMO_All_agents"}  # may return (pred, action)
+_EVAL_DEFAULT = {
+    "LearnWhen2Com": "activated",
+    "LearnWho2Com": "argmax_test",
+    "MIMOcom": "activated",
+    "MIMOcomWho": "activated",
+}
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+class Trainer:
+    """Architecture-parametrized trainer/evaluator."""
+
+    def __init__(
+        self,
+        cfg,
+        writer,
+        logger,
+        model,
+        loss_fn,
+        trainloader,
+        valloader,
+        optimizer,
+        scheduler=None,
+        mesh=None,
+        seed: int = 1337,
+    ):
+        self.cfg = cfg
+        self.writer = writer
+        self.logger = logger
+        self.model = model
+        self.loss_fn = loss_fn
+        self.trainloader = trainloader
+        self.valloader = valloader
+        self.tx = optimizer
+        self.mesh = mesh
+        self.n_classes = N_CLASSES
+        self.arch = cfg["model"]["arch"]
+        self.MO_flag = bool(cfg["model"].get("multiple_output"))
+        self.agent_num = int(cfg["model"].get("agent_num") or 5)
+        self.if_commun_label = cfg["data"].get("commun_label", "None")
+        self.running_metrics_val = runningScore(self.n_classes)
+        self.seed = seed
+        self._needs_action_rng = (
+            self.arch in _SELECTION
+            and cfg["model"].get("shuffle_features") == "selection"
+        )
+        self.state: TrainState | None = None
+        self._jitted: dict = {}
+
+    # ------------------------------------------------------------------
+    # batch plumbing
+    # ------------------------------------------------------------------
+    def _model_inputs(self, images: np.ndarray) -> np.ndarray:
+        """(B, N, H, W, 3) batch -> model input per arch family."""
+        if self.arch == "Single_agent":
+            if self.MO_flag:  # fold views into batch (trainer.py:1390-1392)
+                b, n = images.shape[:2]
+                return images.reshape((b * n,) + images.shape[2:])
+            return images[:, 0]
+        return images
+
+    def _labels(self, labels: np.ndarray) -> np.ndarray:
+        """(B, N, H, W) -> target per arch family (batch-major MO stacking)."""
+        if self.MO_flag and self.arch != "All_agents":
+            b, n = labels.shape[:2]
+            return labels.reshape((b * n,) + labels.shape[2:])
+        return labels[:, 0]
+
+    def _apply_kwargs(self, train: bool, inference: str | None = None) -> dict:
+        kw: dict = {"train": train}
+        if self.arch in _COMM_4TUPLE:
+            kw["mo_flag"] = self.MO_flag
+            kw["inference"] = inference or "softmax"
+        elif self.arch in _COMM_SRMS:
+            kw["inference"] = inference or "softmax"
+        return kw
+
+    def _split_outputs(self, out):
+        """Normalize forward outputs to (pred, prob, action, num_connect)."""
+        if isinstance(out, tuple):
+            pred = out[0]
+            prob = out[1] if len(out) > 1 else None
+            action = out[2] if len(out) > 2 else (out[1] if len(out) == 2 else None)
+            nc = out[3] if len(out) > 3 else None
+            return pred, prob, action, nc
+        return out, None, None, None
+
+    # ------------------------------------------------------------------
+    # state / jit
+    # ------------------------------------------------------------------
+    def _init_state(self, example_images: np.ndarray) -> TrainState:
+        rngs = {"params": jax.random.PRNGKey(self.seed)}
+        if self._needs_action_rng:
+            rngs["action"] = jax.random.PRNGKey(self.seed + 1)
+        x = jnp.asarray(self._model_inputs(example_images))
+        variables = init_variables(self.model, rngs, x, **self._apply_kwargs(True))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            rng=jax.random.PRNGKey(self.seed + 2),
+        )
+        if self.mesh is not None:
+            rep = replicate_sharding(self.mesh)
+            shardings = TrainState(
+                step=rep,
+                params=param_shardings(self.mesh, params),
+                batch_stats=jax.tree_util.tree_map(lambda _: rep, batch_stats),
+                opt_state=jax.tree_util.tree_map(lambda _: rep, opt_state),
+                rng=rep,
+            )
+            state = jax.device_put(state, shardings)
+        return state
+
+    def _put_batch(self, *arrays):
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        bs = batch_sharding(self.mesh)
+        return tuple(jax.device_put(jnp.asarray(a), bs) for a in arrays)
+
+    def _train_step_fn(self) -> Callable:
+        if "train" in self._jitted:
+            return self._jitted["train"]
+        model = self.model
+        tx = self.tx
+        loss_fn = self.loss_fn
+        kw = self._apply_kwargs(True)
+        needs_rng = self._needs_action_rng
+
+        def step(state: TrainState, images, labels):
+            rng, action_rng = jax.random.split(state.rng)
+
+            def compute_loss(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                rngs = {"action": action_rng} if needs_rng else None
+                out, updates = model.apply(
+                    variables, images, mutable=["batch_stats"], rngs=rngs, **kw
+                )
+                pred = out[0] if isinstance(out, tuple) else out
+                loss = loss_fn(input=pred, target=labels)
+                return loss, updates["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                rng=rng,
+            )
+            return new_state, loss
+
+        self._jitted["train"] = jax.jit(step, donate_argnums=0)
+        return self._jitted["train"]
+
+    def _eval_step_fn(self, inference: str | None, with_loss: bool) -> Callable:
+        key = ("eval", inference, with_loss)
+        if key in self._jitted:
+            return self._jitted[key]
+        model = self.model
+        loss_fn = self.loss_fn
+        kw = self._apply_kwargs(False, inference)
+        needs_rng = self._needs_action_rng
+        n_classes = self.n_classes
+        mimo = self.if_commun_label == "mimo"
+        agent_num = self.agent_num
+        mo = self.MO_flag and self.arch != "All_agents"
+
+        def step(state: TrainState, images, labels, commun_label=None):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            rngs = {"action": jax.random.PRNGKey(0)} if needs_rng else None
+            out = model.apply(variables, images, rngs=rngs, **kw)
+            pred_logits = out[0] if isinstance(out, tuple) else out
+            pred = jnp.argmax(pred_logits, axis=-1)
+            hist = confusion_matrix(labels, pred, n_classes)
+            res = {"hist": hist, "pred_count": labels.shape[0]}
+            if with_loss:
+                res["loss"] = loss_fn(input=pred_logits, target=labels)
+            if isinstance(out, tuple):
+                if len(out) > 2 and out[2] is not None:
+                    res["action"] = out[2]
+                if len(out) > 3:
+                    res["num_connect"] = out[3]
+                elif len(out) == 2:
+                    res["action"] = out[1]
+            if commun_label is not None:
+                if mimo:
+                    normal = (commun_label[:, 0, :] == 0)  # (B, N)
+                    flags = normal.reshape(-1) if mo else normal[:, 0]
+                else:
+                    flags = commun_label == -1  # (B,)
+                res["hist_pos"] = confusion_matrix(
+                    labels, pred, n_classes, sample_mask=flags
+                )
+                res["hist_neg"] = confusion_matrix(
+                    labels, pred, n_classes, sample_mask=~flags
+                )
+            return res
+
+        self._jitted[key] = jax.jit(step)
+        return self._jitted[key]
+
+    # ------------------------------------------------------------------
+    # selection-accuracy plumbing
+    # ------------------------------------------------------------------
+    def _update_selection(self, metrics: runningScore, commun_label, action):
+        if self.if_commun_label == "None" or action is None:
+            return
+        action = np.asarray(action)
+        if self.arch == "LearnWho2Com":
+            # +1: the requester is not a candidate key (trainer.py:454-455)
+            action = action + 1
+        metrics.update_selection(self.if_commun_label, np.asarray(commun_label), action)
+
+    # ------------------------------------------------------------------
+    # public API (reference trainer surface)
+    # ------------------------------------------------------------------
+    def train(self) -> str:
+        cfg_t = self.cfg["training"]
+        start_iter = 0
+        save_path = None
+
+        first = next(iter(self.trainloader))
+        images0 = first[0]
+        if self.state is None:
+            self.state = self._init_state(images0)
+
+        resume = cfg_t.get("resume")
+        if resume is not None:
+            if os.path.isdir(str(resume)):
+                self._restore_full(resume)
+                start_iter = int(self.state.step)
+                self.logger.info("Loaded checkpoint '%s' (iter %d)", resume, start_iter)
+            else:
+                self.logger.info("No checkpoint found at '%s'", resume)
+
+        train_step = self._train_step_fn()
+        val_loss_meter = averageMeter()
+        time_meter = averageMeter()
+        best_iou = -100.0
+        i = start_iter
+        flag = True
+
+        while i <= cfg_t["train_iters"] and flag:
+            for data_list in self.trainloader:
+                i += 1
+                if self.if_commun_label != "None":
+                    images, labels, commun_label = data_list
+                else:
+                    images, labels = data_list[0], data_list[1]
+
+                start_ts = time.time()
+                x, y = self._put_batch(self._model_inputs(images), self._labels(labels))
+                self.state, loss = train_step(self.state, x, y)
+
+                if (i + 1) % cfg_t["print_interval"] == 0:
+                    loss_val = float(loss)
+                    time_meter.update(time.time() - start_ts)
+                    print_str = (
+                        f"Iter [{i + 1:d}/{cfg_t['train_iters']:d}]  "
+                        f"Loss: {loss_val:.4f}  "
+                        f"Time/Image: {time_meter.avg / cfg_t['batch_size']:.4f}"
+                    )
+                    print(print_str)
+                    self.logger.info(print_str)
+                    if self.writer is not None:
+                        self.writer.add_scalar("loss/train_loss", loss_val, i + 1)
+                    time_meter.reset()
+                else:
+                    time_meter.update(time.time() - start_ts)
+
+                if i % cfg_t["val_interval"] == 0 or i == cfg_t["train_iters"]:
+                    self._validate(i, val_loss_meter)
+                    score, _ = self.running_metrics_val.get_scores()
+                    miou = score["Mean IoU : \t"]
+                    self._log_val_scores(i)
+                    val_loss_meter.reset()
+                    self.running_metrics_val.reset()
+                    if miou >= best_iou:
+                        best_iou = miou
+                        save_path = self._save_best(i, best_iou)
+
+                if i == cfg_t["train_iters"]:
+                    flag = False
+                    break
+        return save_path
+
+    def _validate(self, i: int, val_loss_meter: averageMeter):
+        eval_step = self._eval_step_fn(None, with_loss=True)
+        for data_list in self.valloader:
+            commun_label = None
+            if self.if_commun_label != "None":
+                images, labels, commun_label = data_list
+            else:
+                images, labels = data_list[0], data_list[1]
+            x, y = self._put_batch(self._model_inputs(images), self._labels(labels))
+            args = (self.state, x, y)
+            if commun_label is not None:
+                args += (jnp.asarray(commun_label),)
+            res = eval_step(*args)
+            self.running_metrics_val.update_hist(
+                res["hist"], res.get("hist_pos"), res.get("hist_neg")
+            )
+            if commun_label is not None and "action" in res:
+                self._update_selection(
+                    self.running_metrics_val, commun_label, res["action"]
+                )
+            val_loss_meter.update(float(res["loss"]))
+        self._val_loss_avg = val_loss_meter.avg
+
+    def _log_val_scores(self, i: int):
+        rm = self.running_metrics_val
+        if self.if_commun_label != "None" and rm.total_agent > 0:
+            when_acc, who_acc = rm.get_selection_accuracy()
+            print(f"Validation when2com accuracy:{when_acc}")
+            print(f"Validation who2com accuracy:{who_acc}")
+            if self.writer is not None:
+                self.writer.add_scalar("val_metrics/when_com_accuacy", when_acc, i)
+                self.writer.add_scalar("val_metrics/who_com_accuracy", who_acc, i)
+        if self.writer is not None:
+            self.writer.add_scalar("loss/val_loss", self._val_loss_avg, i)
+        self.logger.info("Iter %d Loss: %.4f", i, self._val_loss_avg)
+        for title, (score, class_iou) in (
+            ("Normal", rm.get_only_normal_scores()),
+            ("Noise", rm.get_only_noise_scores()),
+            ("Overall", rm.get_scores()),
+        ):
+            print(title)
+            rm.print_score(self.n_classes, score, class_iou)
+        if self.writer is not None:
+            score, class_iou = rm.get_scores()
+            for k, v in score.items():
+                self.writer.add_scalar(f"val_metrics/{k.strip()}", v, i)
+            for k, v in class_iou.items():
+                self.writer.add_scalar(f"val_metrics/cls_{k}", v, i)
+
+    # ------------------------------------------------------------------
+    def _ckpt_dict(self, i: int, best_iou: float) -> dict:
+        return {
+            "epoch": np.asarray(i),
+            "model_state": {
+                "params": jax.device_get(self.state.params),
+                "batch_stats": jax.device_get(self.state.batch_stats),
+            },
+            "optimizer_state": jax.device_get(self.state.opt_state),
+            "best_iou": np.asarray(best_iou),
+        }
+
+    def _save_best(self, i: int, best_iou: float) -> str:
+        logdir = (
+            self.writer.file_writer.get_logdir()
+            if self.writer is not None
+            else os.path.join("runs", "default")
+        )
+        save_path = os.path.join(
+            logdir,
+            f"{self.cfg['model']['arch']}_{self.cfg['data']['dataset']}_best_model.ckpt",
+        )
+        save_checkpoint(save_path, self._ckpt_dict(i, best_iou))
+        return save_path
+
+    def _restore_full(self, path: str):
+        restored = load_checkpoint(path, target=self._ckpt_dict(0, 0.0))
+        self.state = self.state.replace(
+            step=jnp.asarray(int(restored["epoch"]), jnp.int32),
+            params=restored["model_state"]["params"],
+            batch_stats=restored["model_state"]["batch_stats"],
+            opt_state=restored["optimizer_state"],
+        )
+
+    def load_weight(self, model_path: str):
+        """Load params/batch_stats only (reference: trainer.py:246-248).
+
+        Restores without a target tree: the optimizer state on disk may have
+        been built with a different LR schedule than this session's (e.g.
+        eval-time test.py), and only the model state matters here.
+        """
+        if self.state is None:
+            loader = self.valloader or self.trainloader
+            first = next(iter(loader))
+            self.state = self._init_state(first[0])
+        restored = load_checkpoint(model_path)
+        self.state = self.state.replace(
+            params=restored["model_state"]["params"],
+            batch_stats=restored["model_state"]["batch_stats"],
+        )
+
+    def evaluate(self, testloader, inference_mode: str | None = None):
+        """Test-split evaluation with Normal/Noise/Overall breakdown and
+        bandwidth reporting (reference: trainer.py:774-840)."""
+        if inference_mode is None:
+            inference_mode = _EVAL_DEFAULT.get(self.arch)
+        if self.state is None:
+            first = next(iter(testloader))
+            self.state = self._init_state(first[0])
+        eval_step = self._eval_step_fn(inference_mode, with_loss=False)
+        running_metrics = runningScore(self.n_classes)
+
+        for data_list in testloader:
+            commun_label = None
+            if self.if_commun_label != "None":
+                images, labels, commun_label = data_list
+            else:
+                images, labels = data_list[0], data_list[1]
+            x, y = self._put_batch(self._model_inputs(images), self._labels(labels))
+            args = (self.state, x, y)
+            if commun_label is not None:
+                args += (jnp.asarray(commun_label),)
+            res = eval_step(*args)
+            running_metrics.update_hist(
+                res["hist"], res.get("hist_pos"), res.get("hist_neg")
+            )
+            if "num_connect" in res:
+                running_metrics.update_bandW(float(res["num_connect"]))
+            # the reference's LearnWhen2Com.evaluate skips update_selection
+            # (trainer.py:251-301); Who2Com and the MIMO trainers report it
+            if (
+                commun_label is not None
+                and "action" in res
+                and self.arch != "LearnWhen2Com"
+            ):
+                self._update_selection(running_metrics, commun_label, res["action"])
+
+        if self.if_commun_label != "None" and running_metrics.total_agent > 0:
+            when_acc, who_acc = running_metrics.get_selection_accuracy()
+            print(f"Validation when2com accuracy:{when_acc}")
+            print(f"Validation who2com accuracy:{who_acc}")
+        if running_metrics.count > 0:
+            print("Bandwidth: " + str(running_metrics.get_avg_bandW()))
+
+        for title, (score, class_iou) in (
+            ("Normal", running_metrics.get_only_normal_scores()),
+            ("Noise", running_metrics.get_only_noise_scores()),
+            ("Overall", running_metrics.get_scores()),
+        ):
+            print(title)
+            running_metrics.print_score(self.n_classes, score, class_iou)
+
+        score, class_iou = running_metrics.get_scores()
+        return score, class_iou
+
+
+# ---------------------------------------------------------------------------
+# per-arch classes (reference: Trainer_LearnWhen2Com at trainer.py:31, etc.)
+# ---------------------------------------------------------------------------
+class Trainer_LearnWhen2Com(Trainer):
+    pass
+
+
+class Trainer_LearnWho2Com(Trainer):
+    pass
+
+
+class Trainer_MIMOcom(Trainer):
+    pass
+
+
+class Trainer_MIMOcomWho(Trainer):
+    pass
+
+
+class Trainer_MIMO_All_agents(Trainer):
+    pass
+
+
+class Trainer_Single_agent(Trainer):
+    pass
+
+
+class Trainer_All_agents(Trainer):
+    pass
+
+
+ARCH2TRAINER = {
+    "LearnWhen2Com": Trainer_LearnWhen2Com,
+    "LearnWho2Com": Trainer_LearnWho2Com,
+    "MIMOcom": Trainer_MIMOcom,
+    "MIMOcomWho": Trainer_MIMOcomWho,
+    "MIMO_All_agents": Trainer_MIMO_All_agents,
+    "Single_agent": Trainer_Single_agent,
+    "All_agents": Trainer_All_agents,
+}
+
+
+def get_trainer(cfg) -> type[Trainer]:
+    """Per-arch trainer dispatch (reference: train.py:195-212)."""
+    arch = cfg["model"]["arch"]
+    if arch not in ARCH2TRAINER:
+        raise KeyError(f"No trainer for arch {arch}")
+    return ARCH2TRAINER[arch]

@@ -1,0 +1,63 @@
+"""Evaluation CLI (reference: /root/reference/test.py:20-121).
+
+Same interface: ``python test.py --config <yml> --model_path <ckpt> [--gpu=0]``.
+Builds the test loader + model, loads the checkpoint, and runs the per-arch
+default inference mode (who2com 'argmax_test', when2com/MIMO 'activated').
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description="config")
+    parser.add_argument("--config", nargs="?", type=str,
+                        default="configs/your_configs.yml")
+    parser.add_argument("--model_path", nargs="?", type=str, required=True)
+    parser.add_argument("--gpu", nargs="?", type=str, default="0")
+    parser.add_argument("--inference_mode", nargs="?", type=str, default=None,
+                        help="override the per-arch default inference mode")
+    args = parser.parse_args()
+
+    from multiagentperception_tpu.config import load_config
+
+    cfg = load_config(args.config)
+
+    import logging
+
+    from multiagentperception_tpu.data import DataLoader, get_loader
+    from multiagentperception_tpu.loss import get_loss_function
+    from multiagentperception_tpu.models import get_model
+    from multiagentperception_tpu.optimizers import get_optimizer
+    from multiagentperception_tpu.trainer import get_trainer
+
+    data_cfg = cfg["data"]
+    loader_cls = get_loader(data_cfg["dataset"])
+    te_dataset = loader_cls(
+        root=data_cfg["path"],
+        split=data_cfg["test_split"],
+        img_size=(data_cfg["img_rows"], data_cfg["img_cols"]),
+        commun_label=data_cfg["commun_label"],
+        target_view=data_cfg["target_view"],
+    )
+    testloader = DataLoader(
+        te_dataset, cfg["training"]["batch_size"],
+        num_workers=cfg["training"]["n_workers"],
+    )
+
+    model = get_model(cfg, n_classes=11)
+    tx = get_optimizer(cfg)
+    loss_fn = get_loss_function(cfg)
+    logger = logging.getLogger("multiagentperception_tpu")
+
+    trainer_cls = get_trainer(cfg)
+    trainer = trainer_cls(
+        cfg, None, logger, model, loss_fn, None, testloader, tx
+    )
+    trainer.load_weight(args.model_path)
+    trainer.evaluate(testloader, inference_mode=args.inference_mode)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,13 @@
 """Test environment: force CPU with 8 virtual devices so sharding/pjit paths
-are exercised without real multi-chip hardware (SURVEY.md §4). Must run before
-jax is imported anywhere."""
+are exercised without real multi-chip hardware (SURVEY.md §4).
+
+Note: this image's sitecustomize force-registers the 'axon' TPU platform and
+overwrites JAX_PLATFORMS, so the env var alone is not enough — the in-process
+``jax.config.update('jax_platforms', 'cpu')`` below is what actually pins the
+tests to CPU (it must run before any backend initialization)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,12 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
-import numpy as np
-import pytest
 
+jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: repeated pytest runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+import pytest
 
 
 @pytest.fixture(scope="session")

@@ -133,9 +133,9 @@ class TestLearnWhen2Com:
 
     def test_activated_eval(self, setup):
         model, variables, x = setup
-        pred, act, action, nc = model.apply(variables, x, train=False, inference="activated")
-        a = np.asarray(act)
-        assert ((a > 0.2) | (a == 0)).all()  # thresholded weights
+        pred, prob, act, nc = model.apply(variables, x, train=False, inference="activated")
+        a = np.asarray(act)  # third output: thresholded weight matrix
+        assert ((a > 0.2) | (a == 0)).all()
 
 
 class TestMIMOcom:

@@ -1,0 +1,176 @@
+"""End-to-end trainer tests on the synthetic fixture (CPU, 8 virtual devices):
+tiny train loops, best-checkpoint save, weight reload, evaluation with
+Normal/Noise split, and data-parallel sharding over the virtual mesh."""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from multiagentperception_tpu.config import normalize_config
+from multiagentperception_tpu.data import AirsimDataset, DataLoader
+from multiagentperception_tpu.data.synthetic import generate_fixture
+from multiagentperception_tpu.loss import get_loss_function
+from multiagentperception_tpu.models import get_model
+from multiagentperception_tpu.optimizers import get_optimizer
+from multiagentperception_tpu.schedulers import get_scheduler
+from multiagentperception_tpu.trainer import get_trainer
+
+logger = logging.getLogger("test")
+
+H = 128
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("airsim_e2e"))
+    generate_fixture(root, target_view="6agent", img_size=H, frames_per_traj=2)
+    return root
+
+
+def _cfg(arch, root, tmpdir, **model_kw):
+    return normalize_config({
+        "model": {"arch": arch, "agent_num": 6, **model_kw},
+        "data": {
+            "path": root, "img_rows": H, "img_cols": H,
+            "target_view": "6agent",
+            "commun_label": model_kw.pop("commun_label", "None"),
+        },
+        "training": {
+            "train_iters": 2, "batch_size": 2, "val_interval": 2,
+            "n_workers": 2, "print_interval": 1,
+        },
+    })
+
+
+def _build(cfg, arch_kw=None, mesh=None):
+    data_cfg = cfg["data"]
+    common = dict(
+        root=data_cfg["path"],
+        img_size=(H, H),
+        commun_label=data_cfg["commun_label"],
+        target_view=data_cfg["target_view"],
+    )
+    t = AirsimDataset(split="train", **common)
+    v = AirsimDataset(split="val", **common)
+    bs = cfg["training"]["batch_size"]
+    tl = DataLoader(t, bs, shuffle=True, drop_last=True, num_workers=2)
+    vl = DataLoader(v, bs, num_workers=2)
+    model = get_model(cfg, 11)
+    schedule = get_scheduler(cfg["training"].get("lr_schedule"),
+                             cfg["training"]["optimizer"]["lr"])
+    tx = get_optimizer(cfg, learning_rate=schedule)
+    loss_fn = get_loss_function(cfg)
+    trainer = get_trainer(cfg)(
+        cfg, None, logger, model, loss_fn, tl, vl, tx, mesh=mesh
+    )
+    return trainer, vl
+
+
+class TestSingleAgentE2E:
+    def test_train_eval_checkpoint_roundtrip(self, fixture_root, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg("Single_agent", fixture_root, tmp_path, multiple_output=True)
+        trainer, vl = _build(cfg)
+        save_path = trainer.train()
+        assert save_path is not None and os.path.exists(save_path)
+        step_after = int(trainer.state.step)
+        assert step_after == 2
+
+        score, class_iou = trainer.evaluate(vl)
+        assert 0.0 <= score["Overall Acc: \t"] <= 1.0
+        assert len(class_iou) == 11
+
+        # weight reload produces identical params
+        params_before = trainer.state.params
+        trainer.load_weight(save_path)
+        import jax
+
+        same = jax.tree_util.tree_all(
+            jax.tree_util.tree_map(
+                lambda a, b: bool(np.allclose(a, b)), params_before,
+                trainer.state.params,
+            )
+        )
+        assert same
+
+    def test_loss_decreases_on_overfit(self, fixture_root, tmp_path, monkeypatch):
+        # 10 iters on 4 samples with a real lr should reduce the train loss
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg("Single_agent", fixture_root, tmp_path, multiple_output=True)
+        cfg["training"]["train_iters"] = 10
+        cfg["training"]["val_interval"] = 100
+        cfg["training"]["optimizer"]["lr"] = 1e-3
+        trainer, _ = _build(cfg)
+
+        losses = []
+        orig = trainer._train_step_fn()
+
+        def spy(state, x, y):
+            new_state, loss = orig(state, x, y)
+            losses.append(float(loss))
+            return new_state, loss
+
+        trainer._jitted["train"] = spy
+        trainer.train()
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+class TestMIMOcomE2E:
+    def test_train_and_eval_with_bandwidth(self, fixture_root, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg(
+            "MIMOcom", fixture_root, tmp_path,
+            multiple_output=True, commun_label="mimo",
+            query_size=8, key_size=64,
+        )
+        trainer, vl = _build(cfg)
+        save_path = trainer.train()
+        assert save_path is not None
+        # selection accuracy was accumulated during validation
+        score, _ = trainer.evaluate(vl, inference_mode="activated")
+        assert 0.0 <= score["Mean IoU : \t"] <= 1.0
+
+    def test_data_parallel_mesh(self, fixture_root, tmp_path, monkeypatch):
+        import jax
+
+        from multiagentperception_tpu.parallel import make_mesh
+
+        monkeypatch.chdir(tmp_path)
+        assert len(jax.devices()) == 8  # conftest forced 8 virtual devices
+        mesh = make_mesh(n_data=8, n_model=1)
+        cfg = _cfg(
+            "MIMOcom", fixture_root, tmp_path,
+            multiple_output=True, commun_label="mimo",
+            query_size=8, key_size=64,
+        )
+        cfg["training"]["batch_size"] = 8  # divisible by the data axis
+        cfg["training"]["train_iters"] = 1
+        cfg["training"]["val_interval"] = 10
+        trainer, vl = _build(cfg, mesh=mesh)
+        # run one sharded step manually (dataset has <8 samples per split,
+        # so feed a synthetic batch)
+        rng = np.random.default_rng(0)
+        images = rng.normal(size=(8, 6, H, H, 3)).astype(np.float32)
+        labels = rng.integers(0, 11, size=(8, 6, H, H)).astype(np.int32)
+        trainer.state = trainer._init_state(images)
+        step = trainer._train_step_fn()
+        x, y = trainer._put_batch(trainer._model_inputs(images), trainer._labels(labels))
+        state2, loss = step(trainer.state, x, y)
+        assert np.isfinite(float(loss))
+        assert int(state2.step) == 1
+
+
+class TestWho2ComE2E:
+    def test_srms_who2com_with_selection_metrics(self, fixture_root, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg(
+            "LearnWho2Com", fixture_root, tmp_path,
+            agent_num=6, commun_label="when2com",
+            query_size=8, key_size=64, multiple_output=False,
+        )
+        trainer, vl = _build(cfg)
+        save_path = trainer.train()
+        score, _ = trainer.evaluate(vl)  # default argmax_test
+        assert 0.0 <= score["Overall Acc: \t"] <= 1.0

@@ -1,0 +1,129 @@
+"""Training CLI (reference: /root/reference/train.py:34-232).
+
+Same interface: ``python train.py --config <yml> [--gpu=0] [--run_time N]``.
+Accepts the reference's ten YAML configs verbatim. After training, reloads the
+best checkpoint and evaluates on the test split (reference train.py:219-232).
+The ``--gpu`` flag maps to device selection, kept for CLI parity (TPU
+placement is implicit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import random
+import shutil
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="config")
+    parser.add_argument("--config", nargs="?", type=str,
+                        default="configs/your_configs.yml",
+                        help="Configuration file to use")
+    parser.add_argument("--gpu", nargs="?", type=str, default="0",
+                        help="Device index (CLI parity; TPU placement is implicit)")
+    parser.add_argument("--run_time", nargs="?", type=int, default=1,
+                        help="number of repeated runs")
+    parser.add_argument("--data_parallel", nargs="?", type=int, default=0,
+                        help="shard the batch over this many devices (0 = all)")
+    args = parser.parse_args()
+
+    from multiagentperception_tpu.config import load_config
+
+    cfg = load_config(args.config)
+
+    import jax
+
+    from multiagentperception_tpu.data import DataLoader, get_loader
+    from multiagentperception_tpu.data.augmentations import get_composed_augmentations
+    from multiagentperception_tpu.loss import get_loss_function
+    from multiagentperception_tpu.models import get_model
+    from multiagentperception_tpu.optimizers import get_optimizer
+    from multiagentperception_tpu.parallel import make_mesh
+    from multiagentperception_tpu.schedulers import get_scheduler
+    from multiagentperception_tpu.trainer import get_trainer
+    from multiagentperception_tpu.utils import get_logger
+
+    for _ in range(args.run_time):
+        run_id = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+        logdir = os.path.join(
+            "runs", os.path.basename(args.config)[:-4], str(run_id)
+        )
+        os.makedirs(logdir, exist_ok=True)
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(logdir=logdir)
+        except ImportError:
+            writer = None
+        print(f"RUNDIR: {logdir}")
+        shutil.copy(args.config, logdir)
+
+        logger = get_logger(logdir)
+        logger.info("Begin")
+
+        seed = int(cfg["training"].get("seed", 1337))
+        random.seed(seed)
+        np.random.seed(seed)
+
+        # data
+        data_cfg = cfg["data"]
+        augmentations = cfg["training"].get("augmentations")
+        loader_cls = get_loader(data_cfg["dataset"])
+        common = dict(
+            root=data_cfg["path"],
+            img_size=(data_cfg["img_rows"], data_cfg["img_cols"]),
+            commun_label=data_cfg["commun_label"],
+            target_view=data_cfg["target_view"],
+        )
+        t_dataset = loader_cls(
+            split=data_cfg["train_split"],
+            augmentations=get_composed_augmentations(augmentations),
+            **common,
+        )
+        v_dataset = loader_cls(split=data_cfg["val_split"], **common)
+
+        batch_size = cfg["training"]["batch_size"]
+        n_workers = cfg["training"]["n_workers"]
+        trainloader = DataLoader(
+            t_dataset, batch_size, shuffle=True, drop_last=True,
+            num_workers=n_workers, seed=seed,
+        )
+        valloader = DataLoader(v_dataset, batch_size, num_workers=n_workers)
+
+        # model + services
+        model = get_model(cfg, n_classes=11)
+        schedule = get_scheduler(
+            cfg["training"].get("lr_schedule"),
+            cfg["training"]["optimizer"]["lr"],
+        )
+        tx = get_optimizer(cfg, learning_rate=schedule)
+        loss_fn = get_loss_function(cfg)
+
+        mesh = None
+        n_dp = args.data_parallel or len(jax.devices())
+        if n_dp > 1:
+            mesh = make_mesh(n_data=n_dp, n_model=1)
+
+        trainer_cls = get_trainer(cfg)
+        trainer = trainer_cls(
+            cfg, writer, logger, model, loss_fn, trainloader, valloader,
+            tx, mesh=mesh, seed=seed,
+        )
+        save_path = trainer.train()
+
+        # post-training test-split evaluation (reference train.py:219-232)
+        te_dataset = loader_cls(split=data_cfg["test_split"], **common)
+        testloader = DataLoader(te_dataset, batch_size, num_workers=n_workers)
+        if save_path is not None:
+            trainer.load_weight(save_path)
+        trainer.evaluate(testloader)
+        if writer is not None:
+            writer.close()
+
+
+if __name__ == "__main__":
+    main()
