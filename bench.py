@@ -1,13 +1,21 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Measures eval throughput of the flagship mrms_when2com (MIMOcom) model:
-N=6 agents, 512x512 inputs, 'activated' bandwidth-pruned inference — the
-reference's headline eval path (trainer.py:774-840) — on the available
-accelerator (one TPU chip under the driver).
+N=6 agents, 512x512 inputs, 'activated' bandwidth-pruned inference, bf16
+compute — the reference's headline eval path (trainer.py:774-840) — on one
+TPU chip.
+
+Methodology: this image reaches the TPU through a tunnel with ~20 ms fixed
+round-trip per dispatch, so naive per-call timing measures the network, not
+the chip. The harness therefore runs K eval steps inside ONE jitted
+``lax.fori_loop`` (each step data-dependent on the last so nothing is
+hoisted) and reports (t(K_hi) - t(K_lo)) / (K_hi - K_lo) — pure device time
+per step, which is also what a pipelined production eval loop achieves since
+async dispatch hides the RTT.
 
 ``vs_baseline`` is the ratio against the PyTorch reference measured on this
 host via scripts/measure_reference_baseline.py (torch-cpu; no CUDA GPU exists
-in this image — see BASELINE.md for the methodology and caveats).
+in this image — see BASELINE.md for methodology and caveats).
 
 A frame = one camera view through the full pipeline (batch x agent_num frames
 per forward), matching the reference's Time/Image accounting normalized by
@@ -27,13 +35,12 @@ import numpy as np
 TORCH_CPU_BASELINE_FPS = 0.780
 
 
-def bench_eval(batch=8, img=512, agents=6, iters=20, warmup=3):
+def _build(batch, img, agents, dtype):
     import jax
     import jax.numpy as jnp
 
     from multiagentperception_tpu.config import normalize_config
     from multiagentperception_tpu.models import get_model
-    from multiagentperception_tpu.ops.comm import confusion_matrix
     from multiagentperception_tpu.utils import init_variables
 
     cfg = normalize_config({
@@ -47,30 +54,66 @@ def bench_eval(batch=8, img=512, agents=6, iters=20, warmup=3):
         model, {"params": jax.random.PRNGKey(0)}, x,
         train=False, mo_flag=True, inference="activated",
     )
-
-    @jax.jit
-    def eval_fn(variables, images, labels):
-        pred, prob, action, nc = model.apply(
-            variables, images, train=False, mo_flag=True, inference="activated"
+    if dtype == jnp.bfloat16:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            variables,
         )
-        cls = jnp.argmax(pred, axis=-1)
-        # metrics on device (framework eval design): the host reads back an
-        # (11, 11) histogram + tiny action/bandwidth stats, not label maps
-        hist = confusion_matrix(labels, cls, 11)
-        return hist, action, nc
+    return model, variables
+
+
+def bench_eval(batch=8, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from multiagentperception_tpu.ops.comm import confusion_matrix
+
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    model, variables = _build(batch, img, agents, dtype)
 
     rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    xs = jnp.asarray(
+        rng.normal(size=(batch, agents, img, img, 3)), dtype
+    )
     ys = jnp.asarray(
         rng.integers(0, 11, size=(batch * agents, img, img)), jnp.int32
     )
-    for _ in range(warmup):
-        np.asarray(eval_fn(variables, xs, ys)[0])
-    t0 = time.time()
-    for _ in range(iters):
-        out = eval_fn(variables, xs, ys)
-        np.asarray(out[0])  # forces completion; the real per-batch readback
-    dt = (time.time() - t0) / iters
+
+    def make_loop(k):
+        @jax.jit
+        def loop(variables, images, labels):
+            def body(i, carry):
+                hist, x = carry
+                pred, prob, action, nc = model.apply(
+                    variables, x, train=False, mo_flag=True,
+                    inference="activated",
+                )
+                cls = jnp.argmax(pred, axis=-1)
+                hist = hist + confusion_matrix(labels, cls, 11)
+                # data-dependence between steps so nothing is hoisted
+                x = x + jnp.asarray(1e-6, x.dtype) * (i + 1)
+                return hist, x
+
+            hist, _ = lax.fori_loop(
+                0, k, body, (jnp.zeros((11, 11), jnp.float32), images)
+            )
+            return hist
+
+        return loop
+
+    def run(loop):
+        h = loop(variables, xs, ys)
+        np.asarray(h)  # forces completion through the tunnel
+        t0 = time.time()
+        h = loop(variables, xs, ys)
+        np.asarray(h)
+        return time.time() - t0
+
+    lo, hi = make_loop(k_lo), make_loop(k_hi)
+    t_lo = min(run(lo), run(lo))
+    t_hi = min(run(hi), run(hi))
+    dt = (t_hi - t_lo) / (k_hi - k_lo)
     frames = batch * agents
     return frames / dt, dt
 
@@ -78,7 +121,7 @@ def bench_eval(batch=8, img=512, agents=6, iters=20, warmup=3):
 def main():
     fps, dt = bench_eval()
     print(
-        f"step={dt*1000:.2f} ms  fps={fps:.2f}  "
+        f"device step={dt*1000:.2f} ms  fps={fps:.2f}  "
         f"baseline(torch-cpu)={TORCH_CPU_BASELINE_FPS}",
         file=sys.stderr,
     )

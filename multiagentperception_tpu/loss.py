@@ -19,26 +19,15 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from multiagentperception_tpu.ops.resize import bilinear_resize
+
 IGNORE_INDEX = 250
 
 
 def _resize_logits_align_corners(logits: jnp.ndarray, ht: int, wt: int) -> jnp.ndarray:
-    """Bilinear resize with corner alignment (torch align_corners=True)."""
-    b, h, w, c = logits.shape
-    if (h, w) == (ht, wt):
-        return logits
-    ys = jnp.linspace(0.0, h - 1.0, ht)
-    xs = jnp.linspace(0.0, w - 1.0, wt)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = (ys - y0)[None, :, None, None]
-    wx = (xs - x0)[None, None, :, None]
-    g = lambda yi, xi: logits[:, yi][:, :, xi]
-    top = g(y0, x0) * (1 - wx) + g(y0, x1) * wx
-    bot = g(y1, x0) * (1 - wx) + g(y1, x1) * wx
-    return top * (1 - wy) + bot * wy
+    """Bilinear resize with corner alignment (torch align_corners=True),
+    as MXU matmuls (ops/resize.py)."""
+    return bilinear_resize(logits, ht, wt, align_corners=True)
 
 
 def cross_entropy2d(
