@@ -33,11 +33,21 @@ class TestBilinearResize:
         x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)), jnp.float32)
         assert bilinear_resize(x, 8, 8) is x
 
-    def test_downscale(self, rng):
-        x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)), jnp.float32)
-        ref = jax.image.resize(x, (1, 8, 8, 3), method="bilinear")
-        got = bilinear_resize(x, 8, 8)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    def test_downscale_matches_torch_no_antialias(self, rng):
+        # jax.image.resize anti-aliases on downscale (wider kernel); this op
+        # is the plain 2-tap bilinear, which is torch's antialias=False.
+        import torch
+        import torch.nn.functional as F
+
+        x = rng.normal(size=(1, 16, 16, 3)).astype(np.float32)
+        t = torch.tensor(x).permute(0, 3, 1, 2)
+        ref = (
+            F.interpolate(t, size=(8, 8), mode="bilinear", antialias=False)
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        got = np.asarray(bilinear_resize(jnp.asarray(x), 8, 8))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
 
     def test_differentiable(self, rng):
         x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)), jnp.float32)
