@@ -40,7 +40,8 @@ def cross_entropy2d(
     ht, wt = target.shape[-2:]
     logits = _resize_logits_align_corners(input, ht, wt)
     c = logits.shape[-1]
-    logits = logits.reshape(-1, c)
+    # loss math in f32 regardless of the model's compute dtype
+    logits = logits.reshape(-1, c).astype(jnp.float32)
     tgt = target.reshape(-1)
     valid = tgt != IGNORE_INDEX
     safe_tgt = jnp.where(valid, tgt, 0)

@@ -37,12 +37,24 @@ def get_model(cfg: Mapping[str, Any], n_classes: int):
     if name not in MODELS:
         raise KeyError(f"Model {name} not available")
 
+    # compute dtype: model.dtype ('bfloat16'|'float32') or the
+    # training.mixed_precision shorthand; params/BN stats stay f32 either way
+    dtype = None
+    dtype_name = m.get("dtype")
+    if dtype_name is None and cfg.get("training", {}).get("mixed_precision"):
+        dtype_name = "bfloat16"
+    if dtype_name not in (None, "None", "float32"):
+        import jax.numpy as jnp
+
+        dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16}[dtype_name]
+
     common = dict(
         n_classes=n_classes,
         feat_channel=m.get("feat_channel", 512),
         feat_squeezer=m.get("feat_squeezer", -1),
         enc_backbone=m["enc_backbone"],
         dec_backbone=m["dec_backbone"],
+        dtype=dtype,
     )
     if name == "Single_agent":
         return SingleAgent(**common)

@@ -68,11 +68,14 @@ class SingleAgent(nn.Module):
     feat_squeezer: int = -1
     enc_backbone: str = "resnet_encoder"
     dec_backbone: str = "simple_decoder"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        feat = ImgEncoder(self.feat_channel, self.feat_squeezer, self.enc_backbone)(x, train)
-        return ImgDecoder(self.n_classes, self.feat_squeezer, self.dec_backbone)(feat, train)
+        feat = ImgEncoder(self.feat_channel, self.feat_squeezer,
+                          self.enc_backbone, dtype=self.dtype)(x, train)
+        return ImgDecoder(self.n_classes, self.feat_squeezer,
+                          self.dec_backbone, dtype=self.dtype)(feat, train)
 
 
 class AllAgents(nn.Module):
@@ -89,13 +92,14 @@ class AllAgents(nn.Module):
     agent_num: int = 5
     enc_backbone: str = "resnet_encoder"
     dec_backbone: str = "simple_decoder"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True):
         b, n = x.shape[0], x.shape[1]
         feats = [
             ImgEncoder(self.feat_channel, self.feat_squeezer, self.enc_backbone,
-                       name=f"encoder{i + 1}")(x[:, i], train)
+                       dtype=self.dtype, name=f"encoder{i + 1}")(x[:, i], train)
             for i in range(n)
         ]
         if self.shuffle_flag == "selection":
@@ -105,14 +109,16 @@ class AllAgents(nn.Module):
             stacked = jnp.stack(feats, axis=0)  # (N, B, h, w, C)
             aux = stacked[aux_id]
             fused = jnp.concatenate([feats[0], aux], axis=-1)
-            pred = ImgDecoder(self.n_classes, self.feat_squeezer, self.dec_backbone)(fused, train)
+            pred = ImgDecoder(self.n_classes, self.feat_squeezer,
+                              self.dec_backbone, dtype=self.dtype)(fused, train)
             rand_action = jnp.full((b,), aux_id, dtype=jnp.int32)
             return pred, rand_action
         if self.shuffle_flag == "fixed2":
             fused = jnp.concatenate(feats[:2], axis=-1)
         else:  # catall
             fused = jnp.concatenate(feats, axis=-1)
-        return ImgDecoder(self.n_classes, self.feat_squeezer, self.dec_backbone)(fused, train)
+        return ImgDecoder(self.n_classes, self.feat_squeezer,
+                          self.dec_backbone, dtype=self.dtype)(fused, train)
 
 
 class MIMOAllAgents(nn.Module):
@@ -129,17 +135,18 @@ class MIMOAllAgents(nn.Module):
     agent_num: int = 6
     enc_backbone: str = "resnet_encoder"
     dec_backbone: str = "simple_decoder"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True):
         b, n = x.shape[0], x.shape[1]
         feats = _unfold_agents(
-            ImgEncoder(self.feat_channel, self.feat_squeezer, self.enc_backbone)(
-                _fold_agents(x), train
-            ),
+            ImgEncoder(self.feat_channel, self.feat_squeezer, self.enc_backbone,
+                       dtype=self.dtype)(_fold_agents(x), train),
             n,
         )  # (B, N, h, w, C)
-        decoder = ImgDecoder(self.n_classes, self.feat_squeezer, self.dec_backbone)
+        decoder = ImgDecoder(self.n_classes, self.feat_squeezer,
+                             self.dec_backbone, dtype=self.dtype)
 
         if self.shuffle_flag == "selection":
             # One random partner per agent, shared across the batch
@@ -181,11 +188,13 @@ class LearnWho2Com(nn.Module):
     query_size: int = 8
     enc_backbone: str = "resnet_encoder"
     dec_backbone: str = "simple_decoder"
+    dtype: Any = None
 
     def _encode(self, x, train):
         b, n = x.shape[0], x.shape[1]
         mk = lambda name: ImgEncoder(
-            self.feat_channel, self.feat_squeezer, self.enc_backbone, name=name
+            self.feat_channel, self.feat_squeezer, self.enc_backbone,
+            dtype=self.dtype, name=name
         )
         if self.shared_img_encoder == "unified":
             return _unfold_agents(mk("u_encoder")(_fold_agents(x), train), n)
@@ -200,21 +209,25 @@ class LearnWho2Com(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = True, inference: str = "argmax"):
         b, n = x.shape[0], x.shape[1]
         feats = self._encode(x, train)  # (B, N, h, w, C)
-        qk_map = PolicyNet4(self.enc_backbone)(_fold_agents(x), train)
+        qk_map = PolicyNet4(self.enc_backbone, dtype=self.dtype)(_fold_agents(x), train)
         qk_map = _unfold_agents(qk_map, n)  # (B, N, h', w', 256)
 
-        keys = KMGenerator(self.key_size, name="key_net")(_fold_agents(qk_map[:, 1:]))
+        keys = KMGenerator(self.key_size, dtype=self.dtype,
+                           name="key_net")(_fold_agents(qk_map[:, 1:]))
         keys = _unfold_agents(keys, n - 1)  # (B, N-1, key)
         if self.has_query:
-            query = KMGenerator(self.query_size, name="query_net")(qk_map[:, 0])[:, None]
+            query = KMGenerator(self.query_size, dtype=self.dtype,
+                                name="query_net")(qk_map[:, 0])[:, None]
         else:
             query = jnp.ones((b, 1, self.query_size), dtype=feats.dtype)
 
         vals = feats[:, 1:]  # supporters only
-        attn = get_srms_attention(self.attention, self.query_size, self.key_size, self.sparse)
+        attn = get_srms_attention(self.attention, self.query_size, self.key_size,
+                                  self.sparse, dtype=self.dtype)
         fused, prob_action = attn(query, keys, vals)  # (B,h,w,C), (B,1,N-1)
 
-        decoder = ImgDecoder(self.n_classes, self.feat_squeezer, self.dec_backbone)
+        decoder = ImgDecoder(self.n_classes, self.feat_squeezer,
+                             self.dec_backbone, dtype=self.dtype)
         action = jnp.argmax(prob_action, axis=2)
 
         if train or inference == "softmax":
@@ -255,6 +268,7 @@ class LearnWhen2Com(nn.Module):
     query_size: int = 8
     enc_backbone: str = "resnet_encoder"
     dec_backbone: str = "simple_decoder"
+    dtype: Any = None
 
     _encode = LearnWho2Com._encode
 
@@ -262,20 +276,25 @@ class LearnWhen2Com(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = True, inference: str = "argmax"):
         b, n = x.shape[0], x.shape[1]
         feats = self._encode(x, train)  # (B, N, h, w, C)
-        qk_map = _unfold_agents(PolicyNet4(self.enc_backbone)(_fold_agents(x), train), n)
+        qk_map = _unfold_agents(
+            PolicyNet4(self.enc_backbone, dtype=self.dtype)(_fold_agents(x), train), n)
 
         keys = _unfold_agents(
-            KMGenerator(self.key_size, name="key_net")(_fold_agents(qk_map)), n
+            KMGenerator(self.key_size, dtype=self.dtype,
+                        name="key_net")(_fold_agents(qk_map)), n
         )  # keys from all N incl. self (agent.py:842-847)
         if self.has_query:
-            query = KMGenerator(self.query_size, name="query_net")(qk_map[:, 0])[:, None]
+            query = KMGenerator(self.query_size, dtype=self.dtype,
+                                name="query_net")(qk_map[:, 0])[:, None]
         else:
             query = jnp.ones((b, 1, self.query_size), dtype=feats.dtype)
 
-        attn = get_srms_attention(self.attention, self.query_size, self.key_size, self.sparse)
+        attn = get_srms_attention(self.attention, self.query_size, self.key_size,
+                                  self.sparse, dtype=self.dtype)
         fused, prob_action = attn(query, keys, feats)  # (B,h,w,C), (B,1,N)
 
-        decoder = ImgDecoder(self.n_classes, self.feat_squeezer, self.dec_backbone)
+        decoder = ImgDecoder(self.n_classes, self.feat_squeezer,
+                             self.dec_backbone, dtype=self.dtype)
         action = jnp.argmax(prob_action, axis=2)
 
         if train:
@@ -331,6 +350,7 @@ class MIMOcom(nn.Module):
     enc_backbone: str = "resnet_encoder"
     dec_backbone: str = "simple_decoder"
     topk_k: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -346,24 +366,28 @@ class MIMOcom(nn.Module):
         flat = _fold_agents(x)
         val_mat = _unfold_agents(
             ImgEncoder(self.feat_channel, self.feat_squeezer, self.enc_backbone,
-                       name="u_encoder")(flat, train),
+                       dtype=self.dtype, name="u_encoder")(flat, train),
             n,
         )  # (B, N, h, w, C) — value pass, separate weights from the policy pass
-        qk_map = PolicyNet4(self.enc_backbone, name="query_key_net")(flat, train)
-        key_mat = _unfold_agents(KMGenerator(self.key_size, name="key_net")(qk_map), n)
+        qk_map = PolicyNet4(self.enc_backbone, dtype=self.dtype,
+                            name="query_key_net")(flat, train)
+        key_mat = _unfold_agents(
+            KMGenerator(self.key_size, dtype=self.dtype, name="key_net")(qk_map), n)
         if self.has_query:
             query_mat = _unfold_agents(
-                KMGenerator(self.query_size, name="query_net")(qk_map), n
+                KMGenerator(self.query_size, dtype=self.dtype,
+                            name="query_net")(qk_map), n
             )
         else:
             query_mat = jnp.ones((b, n, self.query_size), dtype=val_mat.dtype)
         if not mo_flag:
             query_mat = query_mat[:, :1]
 
-        attn = MIMOGeneralDotAttention(self.key_size, self.sparse)
+        attn = MIMOGeneralDotAttention(self.key_size, self.sparse, dtype=self.dtype)
         feat_fuse, prob_action = attn(query_mat, key_mat, val_mat)  # (B,Q,h,w,C), (B,K,Q)
 
-        decoder = ImgDecoder(self.n_classes, self.feat_squeezer, self.dec_backbone)
+        decoder = ImgDecoder(self.n_classes, self.feat_squeezer,
+                             self.dec_backbone, dtype=self.dtype)
         pred = decoder(_fold_agents(feat_fuse), train)
 
         # prefer-own-frame diagonal bias (agent.py:1164-1167; the reference
@@ -408,6 +432,7 @@ class MIMOcomWho(nn.Module):
     query_size: int = 32
     enc_backbone: str = "resnet_encoder"
     dec_backbone: str = "simple_decoder"
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -423,24 +448,28 @@ class MIMOcomWho(nn.Module):
         flat = _fold_agents(x)
         val_mat = _unfold_agents(
             ImgEncoder(self.feat_channel, self.feat_squeezer, self.enc_backbone,
-                       name="u_encoder")(flat, train),
+                       dtype=self.dtype, name="u_encoder")(flat, train),
             n,
         )
-        qk_map = PolicyNet4(self.enc_backbone, name="query_key_net")(flat, train)
-        key_mat = _unfold_agents(KMGenerator(self.key_size, name="key_net")(qk_map), n)
+        qk_map = PolicyNet4(self.enc_backbone, dtype=self.dtype,
+                            name="query_key_net")(flat, train)
+        key_mat = _unfold_agents(
+            KMGenerator(self.key_size, dtype=self.dtype, name="key_net")(qk_map), n)
         if self.has_query:
             query_mat = _unfold_agents(
-                KMGenerator(self.query_size, name="query_net")(qk_map), n
+                KMGenerator(self.query_size, dtype=self.dtype,
+                            name="query_net")(qk_map), n
             )
         else:
             query_mat = jnp.ones((b, n, self.query_size), dtype=val_mat.dtype)
         if not mo_flag:
             query_mat = query_mat[:, :1]
 
-        attn = MIMOWhoGeneralDotAttention(self.key_size, self.sparse)
+        attn = MIMOWhoGeneralDotAttention(self.key_size, self.sparse, dtype=self.dtype)
         feat_fuse, prob_action = attn(query_mat, key_mat, val_mat)
 
-        decoder = ImgDecoder(self.n_classes, self.feat_squeezer, self.dec_backbone)
+        decoder = ImgDecoder(self.n_classes, self.feat_squeezer,
+                             self.dec_backbone, dtype=self.dtype)
         fuse_map = jnp.concatenate([feat_fuse, val_mat], axis=-1)
         pred = decoder(_fold_agents(fuse_map), train)
 

@@ -15,6 +15,8 @@ return a fused map ``(B, H, W, C)`` plus the probability row ``(B, 1, K)``
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -32,6 +34,7 @@ class ScaledDotAttention(nn.Module):
 
     temperature: float = 128.0 ** 0.5
     sparse: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, q, k, v):
@@ -46,12 +49,13 @@ class AdditiveAttention(nn.Module):
 
     hidden: int = 128
     sparse: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, q, k, v):
-        feat = nn.Dense(self.hidden)(k)  # (B, K, h)
-        ctx = nn.Dense(self.hidden)(q)  # (B, 1, h)
-        logits = nn.Dense(1)(feat + ctx)  # (B, K, 1)
+        feat = nn.Dense(self.hidden, dtype=self.dtype)(k)  # (B, K, h)
+        ctx = nn.Dense(self.hidden, dtype=self.dtype)(q)  # (B, 1, h)
+        logits = nn.Dense(1, dtype=self.dtype)(feat + ctx)  # (B, K, 1)
         coef = _normalize(logits, self.sparse, axis=1)
         fused = fuse_values(coef, v)[:, 0]
         return fused, jnp.swapaxes(coef, 1, 2)
@@ -62,13 +66,15 @@ class GeneralDotAttention(nn.Module):
 
     key_size: int = 1024
     sparse: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, q, k, v):
-        query = nn.Dense(self.key_size, kernel_init=nn.initializers.xavier_normal())(q)
+        query = nn.Dense(self.key_size, kernel_init=nn.initializers.xavier_normal(),
+                         dtype=self.dtype)(q)
         logits = jnp.einsum("bkd,bqd->bkq", k, query)  # (B, K, 1)
         coef = _normalize(logits, self.sparse, axis=1)
-        fused = fuse_values(coef, v)[:, 0]
+        fused = fuse_values(coef.astype(v.dtype), v)[:, 0]
         return fused, jnp.swapaxes(coef, 1, 2)
 
 
@@ -81,13 +87,16 @@ class MIMOGeneralDotAttention(nn.Module):
 
     key_size: int = 1024
     sparse: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, q, k, v):
-        query = nn.Dense(self.key_size, kernel_init=nn.initializers.xavier_normal())(q)
-        logits = jnp.einsum("bkd,bqd->bkq", k, query)  # (B, K, Q)
+        query = nn.Dense(self.key_size, kernel_init=nn.initializers.xavier_normal(),
+                         dtype=self.dtype)(q)
+        # graph logits/softmax in f32: N is tiny, stability > speed here
+        logits = jnp.einsum("bkd,bqd->bkq", k, query).astype(jnp.float32)
         coef = jax.nn.softmax(logits, axis=1)
-        return fuse_values(coef, v), coef
+        return fuse_values(coef.astype(v.dtype), v), coef
 
 
 class MIMOWhoGeneralDotAttention(nn.Module):
@@ -98,13 +107,15 @@ class MIMOWhoGeneralDotAttention(nn.Module):
 
     key_size: int = 1024
     sparse: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, q, k, v):
-        query = nn.Dense(self.key_size, kernel_init=nn.initializers.xavier_normal())(q)
-        logits = jnp.einsum("bkd,bqd->bkq", k, query)
+        query = nn.Dense(self.key_size, kernel_init=nn.initializers.xavier_normal(),
+                         dtype=self.dtype)(q)
+        logits = jnp.einsum("bkd,bqd->bkq", k, query).astype(jnp.float32)
         coef = drop_diagonal_softmax(logits, axis=1)
-        return fuse_values(coef, v), coef
+        return fuse_values(coef.astype(v.dtype), v), coef
 
 
 ATTENTIONS_SRMS = {
@@ -114,10 +125,11 @@ ATTENTIONS_SRMS = {
 }
 
 
-def get_srms_attention(name: str, query_size: int, key_size: int, sparse: bool):
+def get_srms_attention(name: str, query_size: int, key_size: int, sparse: bool,
+                       dtype=None):
     """SRMS attention factory (reference: agent.py:530-536, 721-726)."""
     if name == "additive":
-        return AdditiveAttention(sparse=sparse)
+        return AdditiveAttention(sparse=sparse, dtype=dtype)
     if name == "general":
-        return GeneralDotAttention(key_size=key_size, sparse=sparse)
-    return ScaledDotAttention(sparse=sparse)
+        return GeneralDotAttention(key_size=key_size, sparse=sparse, dtype=dtype)
+    return ScaledDotAttention(sparse=sparse, dtype=dtype)

@@ -9,10 +9,13 @@ conv head + bilinear upsample to input resolution.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multiagentperception_tpu.ops.resize import bilinear_resize
 from multiagentperception_tpu.models.blocks import (
     BN_EPS,
     BN_MOMENTUM,
@@ -27,6 +30,8 @@ class NSegnetEncoder(nn.Module):
     """13 conv-BN-relu layers, five stride-2 downsamples -> 512ch @ 1/32
     (reference: backbone.py:12-55)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         plan = [  # (features, stride)
@@ -37,7 +42,7 @@ class NSegnetEncoder(nn.Module):
             (512, 1), (512, 1), (512, 2),
         ]
         for feats, stride in plan:
-            x = ConvBNRelu(feats, 3, stride)(x, train)
+            x = ConvBNRelu(feats, 3, stride, dtype=self.dtype)(x, train)
         return x
 
 
@@ -45,17 +50,19 @@ class ResnetEncoder(nn.Module):
     """ResNet-18 trunk conv1..layer4, random init -> 512ch @ 1/32
     (reference: backbone.py:58-96; every shipped config's encoder)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=conv_init)(x)
+                    use_bias=False, kernel_init=conv_init, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS)(x)
+                         epsilon=BN_EPS, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for features, strides in [(64, 1), (128, 2), (256, 2), (512, 2)]:
-            x = BasicBlock(features, strides)(x, train)
-            x = BasicBlock(features, 1)(x, train)
+            x = BasicBlock(features, strides, dtype=self.dtype)(x, train)
+            x = BasicBlock(features, 1, dtype=self.dtype)(x, train)
         return x
 
 
@@ -64,6 +71,7 @@ class NSegnetDecoder(nn.Module):
     (reference: backbone.py:99-140)."""
 
     n_classes: int = 11
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -76,9 +84,9 @@ class NSegnetDecoder(nn.Module):
         ]
         for is_deconv, feats in plan:
             if is_deconv:
-                x = DeconvBNRelu(feats)(x, train)
+                x = DeconvBNRelu(feats, dtype=self.dtype)(x, train)
             else:
-                x = ConvBNRelu(feats, 3, 1)(x, train)
+                x = ConvBNRelu(feats, 3, 1, dtype=self.dtype)(x, train)
         return x
 
 
@@ -92,16 +100,17 @@ class SimpleDecoder(nn.Module):
 
     n_classes: int = 11
     upsample: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        x = nn.Conv(256, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        x = nn.Conv(256, (3, 3), padding="SAME", kernel_init=conv_init,
+                    dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.n_classes, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        x = nn.Conv(self.n_classes, (3, 3), padding="SAME",
+                    kernel_init=conv_init, dtype=self.dtype)(x)
         b, h, w, c = x.shape
-        return jax.image.resize(
-            x, (b, h * self.upsample, w * self.upsample, c), method="bilinear"
-        )
+        return bilinear_resize(x, h * self.upsample, w * self.upsample)
 
 
 class FCNDecoder(nn.Module):
@@ -110,16 +119,17 @@ class FCNDecoder(nn.Module):
 
     n_classes: int = 11
     upsample: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        x = nn.Conv(256, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        x = nn.Conv(256, (3, 3), padding="SAME", kernel_init=conv_init,
+                    dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.n_classes, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        x = nn.Conv(self.n_classes, (3, 3), padding="SAME",
+                    kernel_init=conv_init, dtype=self.dtype)(x)
         b, h, w, c = x.shape
-        return jax.image.resize(
-            x, (b, h * self.upsample, w * self.upsample, c), method="bilinear"
-        )
+        return bilinear_resize(x, h * self.upsample, w * self.upsample)
 
 
 ENCODERS = {

@@ -10,10 +10,14 @@ stats in the ``batch_stats`` collection with torch-equivalent momentum
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Compute dtype convention: ``dtype=None`` keeps f32; pass jnp.bfloat16 for
+# mixed precision (params and BN stats stay f32 via param_dtype).
+Dtype = Any
 
 # He-normal for relu conv towers; the reference trains from random init
 # (backbone.py:63 `pretrained=None`) so init parity is "sane", not bitwise.
@@ -32,6 +36,7 @@ class ConvBNRelu(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     relu: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -43,9 +48,11 @@ class ConvBNRelu(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
             kernel_init=conv_init,
+            dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            dtype=self.dtype,
         )(x)
         if self.relu:
             x = nn.relu(x)
@@ -69,6 +76,7 @@ class DeconvBNRelu(nn.Module):
     features: int
     kernel_size: int = 3
     strides: int = 2
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -78,9 +86,11 @@ class DeconvBNRelu(nn.Module):
             strides=(self.strides, self.strides),
             padding="SAME",
             kernel_init=conv_init,
+            dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            dtype=self.dtype,
         )(x)
         return nn.relu(x)
 
@@ -90,12 +100,14 @@ class MLP(nn.Module):
     reference: agent.py:145-178)."""
 
     features: tuple[int, ...]
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.reshape(x.shape[0], -1)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, kernel_init=nn.initializers.xavier_normal())(x)
+            x = nn.Dense(f, kernel_init=nn.initializers.xavier_normal(),
+                         dtype=self.dtype)(x)
             if i < len(self.features) - 1:
                 x = nn.relu(x)
         return x
@@ -106,6 +118,7 @@ class BasicBlock(nn.Module):
 
     features: int
     strides: int = 1
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -113,19 +126,24 @@ class BasicBlock(nn.Module):
         y = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
             padding="SAME", use_bias=False, kernel_init=conv_init,
+            dtype=self.dtype,
         )(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(
-            self.features, (3, 3), padding="SAME", use_bias=False, kernel_init=conv_init
+            self.features, (3, 3), padding="SAME", use_bias=False,
+            kernel_init=conv_init, dtype=self.dtype,
         )(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(
                 self.features, (1, 1), strides=(self.strides, self.strides),
-                use_bias=False, kernel_init=conv_init,
+                use_bias=False, kernel_init=conv_init, dtype=self.dtype,
             )(residual)
             residual = nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, dtype=self.dtype,
             )(residual)
         return nn.relu(y + residual)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -16,12 +18,13 @@ class ImgEncoder(nn.Module):
     feat_channel: int = 512
     feat_squeezer: int = -1  # -1 | 2 | 4
     enc_backbone: str = "resnet_encoder"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        x = get_encoder(self.enc_backbone)()(x, train)
+        x = get_encoder(self.enc_backbone)(dtype=self.dtype)(x, train)
         stride = self.feat_squeezer if self.feat_squeezer in (2, 4) else 1
-        return ConvBNRelu(self.feat_channel, 3, stride)(x, train)
+        return ConvBNRelu(self.feat_channel, 3, stride, dtype=self.dtype)(x, train)
 
 
 class ImgDecoder(nn.Module):
@@ -31,15 +34,18 @@ class ImgDecoder(nn.Module):
     n_classes: int = 11
     feat_squeezer: int = -1
     dec_backbone: str = "simple_decoder"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         if self.feat_squeezer == 2:
-            x = DeconvBNRelu(x.shape[-1])(x, train)
+            x = DeconvBNRelu(x.shape[-1], dtype=self.dtype)(x, train)
         elif self.feat_squeezer == 4:
-            x = DeconvBNRelu(512)(x, train)
-            x = DeconvBNRelu(512)(x, train)
-        return get_decoder(self.dec_backbone)(n_classes=self.n_classes)(x, train)
+            x = DeconvBNRelu(512, dtype=self.dtype)(x, train)
+            x = DeconvBNRelu(512, dtype=self.dtype)(x, train)
+        return get_decoder(self.dec_backbone)(
+            n_classes=self.n_classes, dtype=self.dtype
+        )(x, train)
 
 
 class MsgGenerator(nn.Module):
@@ -48,11 +54,12 @@ class MsgGenerator(nn.Module):
     kept for surface parity)."""
 
     message_size: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         for feats in (256, 128, 64, 64, self.message_size):
-            x = ConvBNRelu(feats, 3, 1)(x, train)
+            x = ConvBNRelu(feats, 3, 1, dtype=self.dtype)(x, train)
         return x
 
 
@@ -63,12 +70,13 @@ class PolicyNet4(nn.Module):
     design — key/query learning is detached from value learning."""
 
     enc_backbone: str = "resnet_encoder"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        x = ImgEncoder(enc_backbone=self.enc_backbone)(x, train)
+        x = ImgEncoder(enc_backbone=self.enc_backbone, dtype=self.dtype)(x, train)
         for feats, stride in [(512, 1), (256, 1), (256, 2), (256, 1), (256, 2)]:
-            x = ConvBNRelu(feats, 3, stride)(x, train)
+            x = ConvBNRelu(feats, 3, stride, dtype=self.dtype)(x, train)
         return x
 
 
@@ -77,7 +85,8 @@ class KMGenerator(nn.Module):
     (reference: agent.py:145-159 km_generator == agent.py:162-178 linear)."""
 
     out_size: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return MLP((256, 128, self.out_size))(x)
+        return MLP((256, 128, self.out_size), dtype=self.dtype)(x)
