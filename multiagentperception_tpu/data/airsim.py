@@ -184,9 +184,14 @@ class AirsimDataset:
         img_norm: bool = True,
         commun_label: str = "None",
         target_view: str = "target",
+        raw_images: bool = False,
     ):
         self.root = root
         self.split = split
+        # raw_images: skip host normalization and yield uint8 RGB — the
+        # trainer normalizes on device (ops/normalize.py), cutting
+        # host->device transfer 4x.
+        self.raw_images = raw_images
         self.img_size = img_size if isinstance(img_size, tuple) else (img_size, img_size)
         self.augmentations = augmentations
         self.img_norm = img_norm
@@ -268,7 +273,10 @@ class AirsimDataset:
             img, lbl = self._read_pair(index, camera)
             if self.augmentations is not None:
                 img, lbl = self.augmentations(img, lbl)
-            img, lbl = self.transform(img, lbl)
+            if self.raw_images:
+                lbl = lbl.astype(np.int32)
+            else:
+                img, lbl = self.transform(img, lbl)
             imgs.append(img)
             lbls.append(lbl)
         images = np.stack(imgs, axis=0)

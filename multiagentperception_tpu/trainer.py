@@ -39,6 +39,7 @@ from flax import struct
 from multiagentperception_tpu.checkpoint import load_checkpoint, save_checkpoint
 from multiagentperception_tpu.metrics import averageMeter, runningScore
 from multiagentperception_tpu.ops.comm import confusion_matrix
+from multiagentperception_tpu.ops.normalize import normalize_images
 from multiagentperception_tpu.parallel.mesh import (
     batch_sharding,
     param_shardings,
@@ -105,6 +106,9 @@ class Trainer:
             self.arch in _SELECTION
             and cfg["model"].get("shuffle_features") == "selection"
         )
+        # on-device normalization of raw uint8 inputs (our extension,
+        # data.on_device_normalize; pairs with AirsimDataset(raw_images=True))
+        self.normalize_on_device = bool(cfg["data"].get("on_device_normalize"))
         self.state: TrainState | None = None
         self._jitted: dict = {}
 
@@ -192,8 +196,12 @@ class Trainer:
         kw = self._apply_kwargs(True)
         needs_rng = self._needs_action_rng
 
+        normalize = self.normalize_on_device
+
         def step(state: TrainState, images, labels):
             rng, action_rng = jax.random.split(state.rng)
+            if normalize:
+                images = normalize_images(images)
 
             def compute_loss(params):
                 variables = {"params": params, "batch_stats": state.batch_stats}
@@ -235,7 +243,11 @@ class Trainer:
         agent_num = self.agent_num
         mo = self.MO_flag and self.arch != "All_agents"
 
+        normalize = self.normalize_on_device
+
         def step(state: TrainState, images, labels, commun_label=None):
+            if normalize:
+                images = normalize_images(images)
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             rngs = {"action": jax.random.PRNGKey(0)} if needs_rng else None
             out = model.apply(variables, images, rngs=rngs, **kw)

@@ -40,6 +40,7 @@ def main():
         img_size=(data_cfg["img_rows"], data_cfg["img_cols"]),
         commun_label=data_cfg["commun_label"],
         target_view=data_cfg["target_view"],
+        raw_images=bool(data_cfg.get("on_device_normalize")),
     )
     testloader = DataLoader(
         te_dataset, cfg["training"]["batch_size"],
