@@ -109,6 +109,11 @@ class Trainer:
         # on-device normalization of raw uint8 inputs (our extension,
         # data.on_device_normalize; pairs with AirsimDataset(raw_images=True))
         self.normalize_on_device = bool(cfg["data"].get("on_device_normalize"))
+        # jax.profiler trace capture (framework extension; the reference only
+        # has wall-clock meters, trainer.py:645, 675-688): set
+        # training.profile_dir to capture iters [10, 15) to that directory
+        self.profile_dir = cfg["training"].get("profile_dir")
+        self.profile_range = tuple(cfg["training"].get("profile_range", (10, 15)))
         self.state: TrainState | None = None
         self._jitted: dict = {}
 
@@ -331,8 +336,13 @@ class Trainer:
                     images, labels = data_list[0], data_list[1]
 
                 start_ts = time.time()
+                if self.profile_dir and i == self.profile_range[0]:
+                    jax.profiler.start_trace(self.profile_dir)
                 x, y = self._put_batch(self._model_inputs(images), self._labels(labels))
                 self.state, loss = train_step(self.state, x, y)
+                if self.profile_dir and i == self.profile_range[1]:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
 
                 if (i + 1) % cfg_t["print_interval"] == 0:
                     loss_val = float(loss)
