@@ -185,6 +185,7 @@ class AirsimDataset:
         commun_label: str = "None",
         target_view: str = "target",
         raw_images: bool = False,
+        noisy_type: str | None = None,
     ):
         self.root = root
         self.split = split
@@ -192,6 +193,11 @@ class AirsimDataset:
         # trainer normalizes on device (ops/normalize.py), cutting
         # host->device transfer 4x.
         self.raw_images = raw_images
+        # Online degradation of the requester view (data.noisy_type). The
+        # reference ships generate_noise (process_img.py:6-35) and imports it
+        # in train.py but applies noise offline only ('noisy_type: None' in
+        # all configs); here a non-None value degrades cam_pos[0] at load.
+        self.noisy_type = None if noisy_type in (None, "None") else noisy_type
         self.img_size = img_size if isinstance(img_size, tuple) else (img_size, img_size)
         self.augmentations = augmentations
         self.img_norm = img_norm
@@ -269,8 +275,12 @@ class AirsimDataset:
 
     def __getitem__(self, index):
         imgs, lbls = [], []
-        for camera in self.cam_pos:
+        for k, camera in enumerate(self.cam_pos):
             img, lbl = self._read_pair(index, camera)
+            if k == 0 and self.noisy_type is not None:
+                from multiagentperception_tpu.data.noise import generate_noise
+
+                img = generate_noise(img, self.noisy_type)
             if self.augmentations is not None:
                 img, lbl = self.augmentations(img, lbl)
             if self.raw_images:

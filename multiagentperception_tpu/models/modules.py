@@ -90,3 +90,15 @@ class KMGenerator(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return MLP((256, 128, self.out_size), dtype=self.dtype)(x)
+
+
+class ConvHead(nn.Module):
+    """1x1-conv key/query head (the reference's ``conv`` head is broken —
+    undefined ``input_feat_sz`` at agent.py:184; implemented working here)."""
+
+    out_size: int = 128
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        return ConvBNRelu(self.out_size, kernel_size=1, dtype=self.dtype)(x, train)

@@ -8,6 +8,7 @@ default inference mode (who2com 'argmax_test', when2com/MIMO 'activated').
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main():
@@ -41,6 +42,7 @@ def main():
         commun_label=data_cfg["commun_label"],
         target_view=data_cfg["target_view"],
         raw_images=bool(data_cfg.get("on_device_normalize")),
+        noisy_type=data_cfg.get("noisy_type"),
     )
     testloader = DataLoader(
         te_dataset, cfg["training"]["batch_size"],

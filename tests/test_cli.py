@@ -1,0 +1,108 @@
+"""CLI end-to-end tests: drive train.py and test.py as subprocesses on the
+synthetic fixture (CPU via MAP_PLATFORM; compile cache shared so reruns are
+fast)."""
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    env["MAP_PLATFORM"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    from multiagentperception_tpu.data.synthetic import generate_fixture
+
+    wd = tmp_path_factory.mktemp("cli")
+    generate_fixture(str(wd / "data"), target_view="6agent", img_size=128,
+                     frames_per_traj=2)
+    cfg = {
+        "model": {"arch": "MIMOcom", "agent_num": 6,
+                  "shared_img_encoder": "unified", "attention": "general",
+                  "sparse": False, "query": True, "query_size": 8,
+                  "key_size": 64, "enc_backbone": "resnet_encoder",
+                  "dec_backbone": "simple_decoder", "feat_squeezer": -1,
+                  "feat_channel": 512, "multiple_output": True},
+        "data": {"dataset": "airsim", "train_split": "train",
+                 "val_split": "val", "test_split": "test", "img_rows": 128,
+                 "img_cols": 128, "path": str(wd / "data"),
+                 "target_view": "6agent", "commun_label": "mimo"},
+        "training": {"train_iters": 2, "batch_size": 2, "val_interval": 2,
+                     "n_workers": 2, "print_interval": 1,
+                     "optimizer": {"name": "adam", "lr": 1.0e-4},
+                     "loss": {"name": "cross_entropy", "size_average": True}},
+    }
+    with open(wd / "smoke.yml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    return wd
+
+
+class TestTrainCLI:
+    def test_train_then_test_roundtrip(self, workdir):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "train.py"),
+             "--config", "smoke.yml"],
+            cwd=workdir, env=_env(), capture_output=True, text=True,
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "Validation when2com accuracy" in r.stdout
+        assert "Overall" in r.stdout
+        ckpts = glob.glob(str(workdir / "runs" / "smoke" / "*" /
+                              "MIMOcom_airsim_best_model.ckpt"))
+        assert ckpts, r.stdout[-2000:]
+
+        r2 = subprocess.run(
+            [sys.executable, os.path.join(REPO, "test.py"),
+             "--config", "smoke.yml", "--model_path", ckpts[0],
+             "--inference_mode", "softmax"],
+            cwd=workdir, env=_env(), capture_output=True, text=True,
+            timeout=900,
+        )
+        assert r2.returncode == 0, r2.stderr[-3000:]
+        assert "Bandwidth: 5.0" in r2.stdout  # N-1 for softmax mode
+        assert "Overall" in r2.stdout
+
+    def test_reference_config_schema_accepted(self, workdir):
+        # load one of the repo's shipped (reference-schema) configs and point
+        # it at the fixture: the CLI must accept the schema unchanged
+        src = os.path.join(REPO, "configs", "multi-request-multi-support",
+                           "mrms_when2com.yml")
+        with open(src) as f:
+            cfg = yaml.safe_load(f)
+        cfg["data"]["path"] = str(workdir / "data")
+        cfg["data"]["img_rows"] = cfg["data"]["img_cols"] = 128
+        cfg["model"]["query_size"], cfg["model"]["key_size"] = 8, 64
+        cfg["training"].update(train_iters=1, val_interval=1, batch_size=2,
+                               n_workers=2, print_interval=1)
+        with open(workdir / "ref_schema.yml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "train.py"),
+             "--config", "ref_schema.yml"],
+            cwd=workdir, env=_env(), capture_output=True, text=True,
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+
+    def test_missing_model_path_errors(self, workdir):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "test.py"),
+             "--config", "smoke.yml"],
+            cwd=workdir, env=_env(), capture_output=True, text=True,
+            timeout=120,
+        )
+        assert r.returncode != 0
+        assert "--model_path" in r.stderr

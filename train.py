@@ -37,6 +37,12 @@ def main():
 
     import jax
 
+    # MAP_PLATFORM overrides the JAX platform in-process (this image's
+    # sitecustomize rewrites JAX_PLATFORMS, so the standard env var cannot
+    # express "run this CLI on cpu" — used by the CPU test-suite)
+    if os.environ.get("MAP_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["MAP_PLATFORM"])
+
     from multiagentperception_tpu.data import DataLoader, get_loader
     from multiagentperception_tpu.data.augmentations import get_composed_augmentations
     from multiagentperception_tpu.loss import get_loss_function
@@ -79,6 +85,7 @@ def main():
             commun_label=data_cfg["commun_label"],
             target_view=data_cfg["target_view"],
             raw_images=bool(data_cfg.get("on_device_normalize")),
+            noisy_type=data_cfg.get("noisy_type"),
         )
         t_dataset = loader_cls(
             split=data_cfg["train_split"],
