@@ -112,9 +112,19 @@ def main():
         loss_fn = get_loss_function(cfg)
 
         mesh = None
-        n_dp = args.data_parallel or len(jax.devices())
+        n_dp = args.data_parallel
+        if not n_dp:
+            # default: largest device count that divides the batch evenly
+            n_dp = len(jax.devices())
+            while n_dp > 1 and batch_size % n_dp:
+                n_dp -= 1
+        elif batch_size % n_dp:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by --data_parallel {n_dp}"
+            )
         if n_dp > 1:
-            mesh = make_mesh(n_data=n_dp, n_model=1)
+            mesh = make_mesh(n_data=n_dp, n_model=1,
+                             devices=jax.devices()[:n_dp])
 
         trainer_cls = get_trainer(cfg)
         trainer = trainer_cls(
