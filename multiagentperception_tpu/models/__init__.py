@@ -80,6 +80,8 @@ def get_model(cfg: Mapping[str, Any], n_classes: int):
         key_size=m["key_size"],
         **common,
     )
+    if name == "MIMOcom":
+        comm["use_pallas_comm"] = bool(m.get("pallas_comm"))
     return MODELS[name](**comm)
 
 

@@ -41,9 +41,11 @@ from multiagentperception_tpu.ops.comm import (
     activated_select,
     argmax_select,
     fuse_values,
+    num_connect_offdiag,
     one_hot_argmax,
     topk_select,
 )
+from multiagentperception_tpu.ops.pallas.comm_fusion import fused_comm_step
 
 
 def _fold_agents(x: jnp.ndarray) -> jnp.ndarray:
@@ -335,6 +337,12 @@ class MIMOcom(nn.Module):
 
     ``inference='topk'`` adds the bandwidth-constrained top-k pruned graph
     (not in the reference; BASELINE.json's bandwidth-constrained variant).
+    ``use_pallas_comm`` (config ``model.pallas_comm``) routes the
+    argmax_test/activated eval paths through the fused single-pass Pallas
+    kernel (ops/pallas/comm_fusion.py). Numerically equivalent; standalone
+    the kernel is ~4x faster than the unfused XLA selection, in the full
+    model it is performance-neutral (the conv towers dominate and XLA fuses
+    the comm step in context) — kept as the serving-build option.
     """
 
     n_classes: int = 11
@@ -351,6 +359,7 @@ class MIMOcom(nn.Module):
     dec_backbone: str = "simple_decoder"
     topk_k: int = 2
     dtype: Any = None
+    use_pallas_comm: bool = False
 
     @nn.compact
     def __call__(
@@ -384,10 +393,30 @@ class MIMOcom(nn.Module):
             query_mat = query_mat[:, :1]
 
         attn = MIMOGeneralDotAttention(self.key_size, self.sparse, dtype=self.dtype)
-        feat_fuse, prob_action = attn(query_mat, key_mat, val_mat)  # (B,Q,h,w,C), (B,K,Q)
-
         decoder = ImgDecoder(self.n_classes, self.feat_squeezer,
                              self.dec_backbone, dtype=self.dtype)
+        mo = query_mat.shape[1] == n
+
+        # Fused Pallas eval path: softmax + diag bias + mode mask + value
+        # fusion in one VMEM pass (eval only — the masked modes are
+        # stop-gradient anyway; requires the full NxN graph, i.e. MO).
+        if (
+            self.use_pallas_comm
+            and not train
+            and mo
+            and inference in ("argmax_test", "activated")
+        ):
+            mode = "argmax" if inference == "argmax_test" else "activated"
+            feat, coef, prob_action = fused_comm_step(
+                attn.project(query_mat), key_mat, val_mat,
+                mode=mode, diag_bias=0.001,
+            )
+            num_connect = num_connect_offdiag(coef, n)
+            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(feat)), train)
+            action = jnp.argmax(coef, axis=1)
+            return pred2, prob_action, action, num_connect
+
+        feat_fuse, prob_action = attn(query_mat, key_mat, val_mat)  # (B,Q,h,w,C), (B,K,Q)
         pred = decoder(_fold_agents(feat_fuse), train)
 
         # prefer-own-frame diagonal bias (agent.py:1164-1167; the reference

@@ -89,10 +89,19 @@ class MIMOGeneralDotAttention(nn.Module):
     sparse: bool = False
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.proj = nn.Dense(
+            self.key_size, kernel_init=nn.initializers.xavier_normal(),
+            dtype=self.dtype,
+        )
+
+    def project(self, q):
+        """Query projection Q' = W q, exposed so fused serving kernels
+        (ops/pallas/comm_fusion.py) can consume the projected queries."""
+        return self.proj(q)
+
     def __call__(self, q, k, v):
-        query = nn.Dense(self.key_size, kernel_init=nn.initializers.xavier_normal(),
-                         dtype=self.dtype)(q)
+        query = self.proj(q)
         # graph logits/softmax in f32: N is tiny, stability > speed here
         logits = jnp.einsum("bkd,bqd->bkq", k, query).astype(jnp.float32)
         coef = jax.nn.softmax(logits, axis=1)

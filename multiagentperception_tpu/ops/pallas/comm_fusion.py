@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 MODES = ("softmax", "activated", "argmax")
 
 
-def _comm_kernel(q_ref, k_ref, v_ref, fused_ref, coef_ref, *, mode: str,
-                 diag_bias: float, thres: float):
+def _comm_kernel(q_ref, k_ref, v_ref, fused_ref, coef_ref, soft_ref, *,
+                 mode: str, diag_bias: float, thres: float):
     n = q_ref.shape[1]
     q = q_ref[0].astype(jnp.float32)  # (N, D) projected queries
     k = k_ref[0].astype(jnp.float32)  # (N, D) keys
@@ -47,6 +47,7 @@ def _comm_kernel(q_ref, k_ref, v_ref, fused_ref, coef_ref, *, mode: str,
     coef = jax.nn.softmax(logits, axis=0)
     if diag_bias:
         coef = coef + diag_bias * jnp.eye(n, dtype=jnp.float32)
+    soft_ref[0] = coef  # pre-mask graph (the reference's prob_action)
     if mode == "activated":
         coef = jnp.where(coef > thres, coef, 0.0)
     elif mode == "argmax":
@@ -78,16 +79,20 @@ def fused_comm_step(
     thres: float = 0.2,
     interpret: bool = False,
 ):
-    """Returns (fused (B, N, H, W, C), coef (B, N_keys, N_queries))."""
+    """Returns (fused (B, N, H, W, C), coef_masked (B, K, Q),
+    coef_soft (B, K, Q)) — coef_soft is the pre-mask softmax(+bias) graph,
+    i.e. the reference's ``prob_action``."""
     if mode not in MODES:
         raise ValueError(f"mode {mode!r} not in {MODES}")
+    # the CPU backend (tests / virtual meshes) only supports interpret mode
+    interpret = interpret or jax.default_backend() == "cpu"
     b, n, h, w, c = vals.shape
     m = h * w * c
     v2 = vals.reshape(b, n, m)
     kernel = functools.partial(
         _comm_kernel, mode=mode, diag_bias=diag_bias, thres=thres
     )
-    fused, coef = pl.pallas_call(
+    fused, coef, soft = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
@@ -103,9 +108,12 @@ def fused_comm_step(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, m), vals.dtype),
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
             jax.ShapeDtypeStruct((b, n, n), jnp.float32),
         ),
         interpret=interpret,
@@ -114,7 +122,7 @@ def fused_comm_step(
         keys.reshape(b, n, -1),
         v2,
     )
-    return fused.reshape(b, n, h, w, c), coef
+    return fused.reshape(b, n, h, w, c), coef, soft
 
 
 def fused_comm_step_reference(

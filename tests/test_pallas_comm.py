@@ -24,23 +24,27 @@ class TestFusedCommKernel:
     @pytest.mark.parametrize("mode", ["softmax", "activated", "argmax"])
     def test_matches_xla_path(self, qkv, mode):
         q, k, v = qkv
-        f1, c1 = fused_comm_step(q, k, v, mode=mode, diag_bias=0.001,
+        f1, c1, s1 = fused_comm_step(q, k, v, mode=mode, diag_bias=0.001,
                                  interpret=True)
         f2, c2 = fused_comm_step_reference(q, k, v, mode=mode, diag_bias=0.001)
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-4)
+        # pre-mask graph equals the softmax(+bias) reference graph
+        _, soft_ref = fused_comm_step_reference(q, k, v, mode="softmax",
+                                                diag_bias=0.001)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(soft_ref), atol=1e-5)
 
     def test_argmax_is_one_hot(self, qkv):
         q, k, v = qkv
-        _, coef = fused_comm_step(q, k, v, mode="argmax", interpret=True)
+        _, coef, _ = fused_comm_step(q, k, v, mode="argmax", interpret=True)
         c = np.asarray(coef)
         assert ((c == 0) | (c == 1)).all()
         np.testing.assert_array_equal(c.sum(axis=1), 1.0)
 
     def test_activated_prunes(self, qkv):
         q, k, v = qkv
-        _, coef = fused_comm_step(q, k, v, mode="activated", thres=0.2,
-                                  interpret=True)
+        _, coef, _ = fused_comm_step(q, k, v, mode="activated", thres=0.2,
+                                     interpret=True)
         c = np.asarray(coef)
         assert ((c > 0.2) | (c == 0)).all()
 
