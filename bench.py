@@ -62,7 +62,7 @@ def _build(batch, img, agents, dtype):
     return model, variables
 
 
-def bench_eval(batch=8, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True):
+def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True):
     import jax
     import jax.numpy as jnp
     from jax import lax

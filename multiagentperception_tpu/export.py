@@ -1,0 +1,59 @@
+"""Serving export: serialize a jitted eval step to a portable artifact.
+
+Production-deployment path the reference lacks entirely: ``jax.export``
+lowers the flagship eval function (encoder -> handshake -> pruned fusion ->
+decoder -> class map) to versioned StableHLO that a serving binary rehydrates
+without Python model code. Weights are baked as constants by default (single
+artifact) or kept as inputs (``bake_weights=False``) for weight-hotswap
+serving.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def make_eval_fn(model, mo_flag: bool = True, inference: str = "activated"):
+    """The canonical serving function: images -> (class map, comm graph,
+    bandwidth)."""
+
+    def eval_fn(variables, images):
+        pred, prob, action, num_connect = model.apply(
+            variables, images, train=False, mo_flag=mo_flag, inference=inference
+        )
+        return jnp.argmax(pred, axis=-1).astype(jnp.int32), prob, num_connect
+
+    return eval_fn
+
+
+def export_serving(
+    model,
+    variables,
+    input_shape: tuple,
+    input_dtype=jnp.float32,
+    inference: str = "activated",
+    mo_flag: bool = True,
+    bake_weights: bool = True,
+) -> bytes:
+    """Serialize the eval step; returns the artifact bytes."""
+    eval_fn = make_eval_fn(model, mo_flag, inference)
+    x_spec = jax.ShapeDtypeStruct(input_shape, input_dtype)
+    if bake_weights:
+        fn = jax.jit(functools.partial(eval_fn, variables))
+        exported = jax_export.export(fn)(x_spec)
+    else:
+        v_spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables
+        )
+        exported = jax_export.export(jax.jit(eval_fn))(v_spec, x_spec)
+    return bytes(exported.serialize())
+
+
+def load_serving(artifact: bytes):
+    """Rehydrate an exported artifact into a callable."""
+    exported = jax_export.deserialize(artifact)
+    return exported.call

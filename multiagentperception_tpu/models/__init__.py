@@ -82,6 +82,7 @@ def get_model(cfg: Mapping[str, Any], n_classes: int):
     )
     if name == "MIMOcom":
         comm["use_pallas_comm"] = bool(m.get("pallas_comm"))
+        comm["remat"] = bool(m.get("remat"))
     return MODELS[name](**comm)
 
 

@@ -360,6 +360,8 @@ class MIMOcom(nn.Module):
     topk_k: int = 2
     dtype: Any = None
     use_pallas_comm: bool = False
+    remat: bool = False  # rematerialize the two encoder towers (trade FLOPs
+    # for activation memory on large batches; jax.checkpoint semantics)
 
     @nn.compact
     def __call__(
@@ -373,13 +375,20 @@ class MIMOcom(nn.Module):
             raise ValueError("Incorrect encoder")
         b, n = x.shape[0], x.shape[1]
         flat = _fold_agents(x)
+        # static_argnums: (self, x, train) -> train selects BN mode, static
+        enc_cls = (
+            nn.remat(ImgEncoder, static_argnums=(2,)) if self.remat else ImgEncoder
+        )
+        pol_cls = (
+            nn.remat(PolicyNet4, static_argnums=(2,)) if self.remat else PolicyNet4
+        )
         val_mat = _unfold_agents(
-            ImgEncoder(self.feat_channel, self.feat_squeezer, self.enc_backbone,
-                       dtype=self.dtype, name="u_encoder")(flat, train),
+            enc_cls(self.feat_channel, self.feat_squeezer, self.enc_backbone,
+                    dtype=self.dtype, name="u_encoder")(flat, train),
             n,
         )  # (B, N, h, w, C) — value pass, separate weights from the policy pass
-        qk_map = PolicyNet4(self.enc_backbone, dtype=self.dtype,
-                            name="query_key_net")(flat, train)
+        qk_map = pol_cls(self.enc_backbone, dtype=self.dtype,
+                         name="query_key_net")(flat, train)
         key_mat = _unfold_agents(
             KMGenerator(self.key_size, dtype=self.dtype, name="key_net")(qk_map), n)
         if self.has_query:

@@ -29,9 +29,15 @@ def _sparsemax_2d(z: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(z - tau, 0.0)
 
 
-@jax.custom_vjp
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def sparsemax(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    """Sparse alternative to softmax: Euclidean projection onto the simplex."""
+    """Sparse alternative to softmax: Euclidean projection onto the simplex.
+
+    ``axis`` is static (nondiff) — it selects program structure.
+    """
     return _sparsemax_apply(logits, axis)
 
 
@@ -44,17 +50,16 @@ def _sparsemax_apply(logits: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 def _sparsemax_fwd(logits, axis):
     out = _sparsemax_apply(logits, axis)
-    return out, (out, axis)
+    return out, out
 
 
-def _sparsemax_bwd(res, g):
-    out, axis = res
+def _sparsemax_bwd(axis, out, g):
     support = (out != 0).astype(g.dtype)
     # Mean of incoming grads over the support set (reference backward,
     # models/utils.py:878-887), subtracted from each supported coordinate.
     s = jnp.sum(g * support, axis=axis, keepdims=True)
     cnt = jnp.maximum(jnp.sum(support, axis=axis, keepdims=True), 1.0)
-    return (support * (g - s / cnt), None)
+    return (support * (g - s / cnt),)
 
 
 sparsemax.defvjp(_sparsemax_fwd, _sparsemax_bwd)

@@ -1,0 +1,37 @@
+"""Serving export round trip: serialize the flagship eval step, rehydrate,
+and match outputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiagentperception_tpu.config import normalize_config
+from multiagentperception_tpu.export import export_serving, load_serving, make_eval_fn
+from multiagentperception_tpu.models import get_model
+from multiagentperception_tpu.utils import init_variables
+
+H = 128
+
+
+class TestServingExport:
+    def test_round_trip(self, rng):
+        cfg = normalize_config({
+            "model": {"arch": "MIMOcom", "agent_num": 3, "query_size": 8,
+                      "key_size": 64, "multiple_output": True},
+            "data": {"img_rows": H, "img_cols": H},
+        })
+        model = get_model(cfg, 11)
+        shape = (1, 3, H, H, 3)
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        v = init_variables(model, {"params": jax.random.PRNGKey(0)}, x,
+                           train=False, mo_flag=True, inference="activated")
+
+        artifact = export_serving(model, v, shape)
+        assert isinstance(artifact, bytes) and len(artifact) > 1000
+
+        served = load_serving(artifact)
+        cls_s, prob_s, nc_s = served(x)
+        cls_d, prob_d, nc_d = make_eval_fn(model)(v, x)
+        np.testing.assert_array_equal(np.asarray(cls_s), np.asarray(cls_d))
+        np.testing.assert_allclose(np.asarray(prob_s), np.asarray(prob_d), atol=1e-5)
+        assert cls_s.shape == (3, H, H)

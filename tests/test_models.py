@@ -180,7 +180,9 @@ class TestMIMOcom:
         pred, prob, action, nc = model.apply(
             variables, x, train=False, mo_flag=True, inference="topk")
         assert pred.shape == (8, H, W, NC)
-        assert float(nc) <= 1.0 + 1e-6  # k=2 keeps self + <=1 link per agent
+        # k=2 keeps at most 2 links per query (self is NOT guaranteed to be
+        # in the top-2 at random init) -> <= 2 off-diagonal links per agent
+        assert float(nc) <= 2.0 + 1e-6
 
 
 class TestMIMOcomWho:

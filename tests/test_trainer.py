@@ -174,3 +174,19 @@ class TestWho2ComE2E:
         save_path = trainer.train()
         score, _ = trainer.evaluate(vl)  # default argmax_test
         assert 0.0 <= score["Overall Acc: \t"] <= 1.0
+
+
+class TestProfilerHook:
+    def test_profile_trace_captured(self, fixture_root, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg("Single_agent", fixture_root, tmp_path, multiple_output=True)
+        cfg["training"]["train_iters"] = 3
+        cfg["training"]["val_interval"] = 100
+        cfg["training"]["profile_dir"] = str(tmp_path / "trace")
+        cfg["training"]["profile_range"] = (1, 2)
+        trainer, _ = _build(cfg)
+        trainer.train()
+        import glob
+
+        assert glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
+                         recursive=True)

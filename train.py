@@ -109,6 +109,13 @@ def main():
             cfg["training"]["optimizer"]["lr"],
         )
         tx = get_optimizer(cfg, learning_rate=schedule)
+        # NaN/Inf guard (framework extension): skip updates with non-finite
+        # grads, give up after N consecutive bad steps
+        nan_guard = cfg["training"].get("nan_guard")
+        if nan_guard:
+            import optax
+
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=int(nan_guard))
         loss_fn = get_loss_function(cfg)
 
         mesh = None
