@@ -118,8 +118,46 @@ def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True):
     return frames / dt, dt
 
 
+def bench_eval_dispatch(batch=16, img=512, agents=6, iters=10, use_bf16=True):
+    """Fallback: per-dispatch timing (includes the ~20 ms tunnel RTT, so it
+    UNDER-reports device throughput); used only if the on-device-loop path
+    fails (remote-compile flakes happen in this image)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiagentperception_tpu.ops.comm import confusion_matrix
+
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    model, variables = _build(batch, img, agents, dtype)
+
+    @jax.jit
+    def eval_fn(variables, images, labels):
+        pred, prob, action, nc = model.apply(
+            variables, images, train=False, mo_flag=True, inference="activated"
+        )
+        return confusion_matrix(labels, jnp.argmax(pred, axis=-1), 11)
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(batch, agents, img, img, 3)), dtype)
+    ys = jnp.asarray(rng.integers(0, 11, size=(batch * agents, img, img)), jnp.int32)
+    np.asarray(eval_fn(variables, xs, ys))
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        np.asarray(eval_fn(variables, xs, ys))
+        ts.append(time.time() - t0)
+    dt = min(ts)
+    return batch * agents / dt, dt
+
+
 def main():
-    fps, dt = bench_eval()
+    try:
+        fps, dt = bench_eval()
+    except Exception as e:  # remote-compile flake: degrade, don't die
+        print(f"on-device-loop bench failed ({e!r}); falling back to "
+              f"per-dispatch timing (RTT-inclusive, under-reports)",
+              file=sys.stderr)
+        fps, dt = bench_eval_dispatch()
     print(
         f"device step={dt*1000:.2f} ms  fps={fps:.2f}  "
         f"baseline(torch-cpu)={TORCH_CPU_BASELINE_FPS}",

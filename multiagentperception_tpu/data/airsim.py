@@ -186,6 +186,7 @@ class AirsimDataset:
         target_view: str = "target",
         raw_images: bool = False,
         noisy_type: str | None = None,
+        use_native_decoder: bool | None = None,
     ):
         self.root = root
         self.split = split
@@ -198,6 +199,21 @@ class AirsimDataset:
         # in train.py but applies noise offline only ('noisy_type: None' in
         # all configs); here a non-None value degrades cam_pos[0] at load.
         self.noisy_type = None if noisy_type in (None, "None") else noisy_type
+        # Native C++ batch decoder (native/decoder.cpp): decodes all N views
+        # of a frame concurrently in one call. cv2's SIMD PNG path measures
+        # ~1.8x faster per image than libpng on this host, so the default
+        # (None) prefers cv2 and uses the native decoder only when cv2 is
+        # absent (e.g. slim deployment images); True forces native.
+        if use_native_decoder is None:
+            try:
+                import cv2  # noqa: F401
+
+                use_native_decoder = False
+            except ImportError:
+                from multiagentperception_tpu import native as _native
+
+                use_native_decoder = _native.available()
+        self.use_native_decoder = use_native_decoder
         self.img_size = img_size if isinstance(img_size, tuple) else (img_size, img_size)
         self.augmentations = augmentations
         self.img_norm = img_norm
@@ -273,10 +289,35 @@ class AirsimDataset:
             raise ValueError("Segmentation map contained invalid class values")
         return img.astype(np.float32), lbl.astype(np.int32)
 
+    def _read_all_native(self, index):
+        """Decode every view's scene+mask in two concurrent native calls."""
+        from multiagentperception_tpu import native
+
+        scene_paths = [
+            self.imgs[self.split][cam]["scene"][index] for cam in self.cam_pos
+        ]
+        mask_paths = [
+            self.imgs[self.split][cam]["segmentation_decoded"][index]
+            for cam in self.cam_pos
+        ]
+        w, h, c = native.png_info(scene_paths[0])
+        scenes = native.decode_batch(scene_paths, h, w, c)[..., :3]
+        mw, mh, mc = native.png_info(mask_paths[0])
+        # reference takes cv2's BGR channel 0 == blue == RGB channel 2
+        # (airsim_loader.py:498); single-channel PNGs decode to gray->RGB
+        masks = native.decode_batch(mask_paths, mh, mw, mc)[..., 2 if mc >= 3 else 0]
+        return scenes, masks
+
     def __getitem__(self, index):
         imgs, lbls = [], []
+        native_batch = None
+        if self.use_native_decoder:
+            native_batch = self._read_all_native(index)
         for k, camera in enumerate(self.cam_pos):
-            img, lbl = self._read_pair(index, camera)
+            if native_batch is not None:
+                img, lbl = native_batch[0][k], native_batch[1][k]
+            else:
+                img, lbl = self._read_pair(index, camera)
             if k == 0 and self.noisy_type is not None:
                 from multiagentperception_tpu.data.noise import generate_noise
 
