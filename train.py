@@ -86,6 +86,7 @@ def main():
             target_view=data_cfg["target_view"],
             raw_images=bool(data_cfg.get("on_device_normalize")),
             noisy_type=data_cfg.get("noisy_type"),
+            cache_decoded=data_cfg.get("cache_decoded"),
         )
         t_dataset = loader_cls(
             split=data_cfg["train_split"],
