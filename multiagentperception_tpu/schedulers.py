@@ -22,6 +22,10 @@ def constant_lr(base_lr: float, **_):
 
 
 def poly_lr(base_lr: float, max_iter: int, gamma: float = 0.9, **_):
+    """Polynomial decay. Note: the reference's PolynomialLR.get_lr is broken
+    (schedulers/schedulers.py:20-25 — the modulo condition makes it return
+    the base lr on almost every step); this implements the decay it clearly
+    intended. No shipped config uses it."""
     return optax.polynomial_schedule(
         init_value=base_lr, end_value=0.0, power=gamma, transition_steps=max_iter
     )
