@@ -324,7 +324,7 @@ class AirsimDataset:
         key = self.imgs[self.split][self.cam_pos[0]]["scene"][index]
         crc = zlib.crc32(key.encode()) & 0xFFFFFFFF
         return os.path.join(
-            self.cache_decoded, f"{self.split}_{index}_{crc:08x}.npz"
+            self.cache_decoded, f"{self.split}_{index}_{crc:08x}.npy"
         )
 
     def _decode_all(self, index):
@@ -343,13 +343,29 @@ class AirsimDataset:
         if self.cache_decoded:
             cp = self._cache_path(index)
             if os.path.exists(cp):
-                with np.load(cp) as z:
-                    scenes, masks = z["scenes"], z["masks"]
+                # single .npy with mask packed as a 4th channel; mmap read
+                # serves straight from the page cache
+                block = np.load(cp, mmap_mode="r")
+                scenes, masks = block[..., :3], block[..., 3]
             else:
                 scenes, masks = self._decode_all(index)
-                tmp = cp + ".tmp.npz"
-                np.savez(tmp, scenes=scenes, masks=masks)
+                block = np.concatenate(
+                    [scenes, masks[..., None]], axis=-1
+                ).astype(np.uint8)
+                tmp = cp + ".tmp.npy"  # np.save keeps paths ending in .npy
+                np.save(tmp, block)
                 os.replace(tmp, cp)
+            if (
+                self.raw_images
+                and self.augmentations is None
+                and self.noisy_type is None
+            ):
+                # fast path: the cached block is already the output layout
+                images = np.ascontiguousarray(scenes)
+                labels = masks.astype(np.int32)
+                if self.commun_label != "None":
+                    return images, labels, self.com_label[self.split][index]
+                return images, labels
             return self._assemble(scenes, masks, index)
         imgs, lbls = [], []
         native_batch = None
