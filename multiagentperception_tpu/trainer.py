@@ -25,7 +25,6 @@ who2com 'argmax_test', when2com/MIMO 'activated' (trainer.py:251, 526, 774).
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any, Callable
@@ -144,16 +143,6 @@ class Trainer:
         elif self.arch in _COMM_SRMS:
             kw["inference"] = inference or "softmax"
         return kw
-
-    def _split_outputs(self, out):
-        """Normalize forward outputs to (pred, prob, action, num_connect)."""
-        if isinstance(out, tuple):
-            pred = out[0]
-            prob = out[1] if len(out) > 1 else None
-            action = out[2] if len(out) > 2 else (out[1] if len(out) == 2 else None)
-            nc = out[3] if len(out) > 3 else None
-            return pred, prob, action, nc
-        return out, None, None, None
 
     # ------------------------------------------------------------------
     # state / jit
