@@ -1,0 +1,92 @@
+"""Grain-backed input pipeline: deterministic, checkpointable iteration.
+
+The simple threaded ``DataLoader`` (pipeline.py) restarts its shuffle order
+on resume; production multi-week runs need the *data stream itself* to
+resume exactly. Grain provides that: the iterator's position is state that
+serializes with the training checkpoint (``iterator.get_state()`` /
+``set_state()``), sharding-aware sampling, and worker-process decode.
+
+Enable with ``training.data_backend: grain`` (default stays the built-in
+loader for reference-parity behavior).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+class _DatasetSource:
+    """grain RandomAccessDataSource view over an AirsimDataset."""
+
+    def __init__(self, dataset):
+        self._ds = dataset
+
+    def __len__(self) -> int:
+        return len(self._ds)
+
+    def __getitem__(self, index: int):
+        return self._ds[int(index)]
+
+
+class GrainLoader:
+    """Drop-in replacement for data.pipeline.DataLoader with checkpointable
+    iteration. Yields the same tuples of stacked numpy arrays.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 0,
+        seed: int = 0,
+        num_epochs: int | None = None,
+    ):
+        import grain.python as gp
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self._gp = gp
+        operations = [gp.Batch(batch_size, drop_remainder=drop_last)]
+        self._loader = gp.DataLoader(
+            data_source=_DatasetSource(dataset),
+            sampler=gp.IndexSampler(
+                num_records=len(dataset),
+                shuffle=shuffle,
+                seed=seed,
+                num_epochs=num_epochs if num_epochs is not None else 1,
+                shard_options=gp.NoSharding(),
+            ),
+            operations=operations,
+            worker_count=num_workers,
+        )
+        self._it = None
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        # fresh epoch iterator (matching the simple loader's semantics);
+        # use persistent_iterator() for cross-checkpoint resume
+        return iter(self._loader)
+
+    # --- checkpointable stream -------------------------------------------
+    def persistent_iterator(self):
+        """An iterator whose position can be saved/restored
+        (get_state/set_state) — store it alongside the train state."""
+        if self._it is None:
+            self._it = iter(self._loader)
+        return self._it
+
+    def get_state(self) -> bytes:
+        return self.persistent_iterator().get_state()
+
+    def set_state(self, state: bytes) -> None:
+        self.persistent_iterator().set_state(state)

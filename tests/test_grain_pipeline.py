@@ -1,0 +1,52 @@
+"""Grain-backed loader: batch parity with the simple loader, determinism,
+and checkpointable stream position."""
+
+import numpy as np
+import pytest
+
+from multiagentperception_tpu.data import AirsimDataset, DataLoader
+from multiagentperception_tpu.data.grain_pipeline import GrainLoader
+from multiagentperception_tpu.data.synthetic import generate_fixture
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("grain_fx"))
+    generate_fixture(root, target_view="6agent", img_size=32, frames_per_traj=3)
+    return root
+
+
+class TestGrainLoader:
+    def test_batches_match_simple_loader_unshuffled(self, fixture_root):
+        ds = AirsimDataset(fixture_root, split="train", target_view="6agent",
+                           commun_label="mimo")
+        simple = list(DataLoader(ds, 2, shuffle=False, drop_last=True))
+        grain = list(GrainLoader(ds, 2, shuffle=False, drop_last=True))
+        assert len(simple) == len(grain)
+        for a, b in zip(simple, grain):
+            np.testing.assert_allclose(a[0], b[0], atol=1e-6)
+            np.testing.assert_array_equal(a[1], b[1])
+            np.testing.assert_array_equal(a[2], b[2])
+
+    def test_shuffle_deterministic_by_seed(self, fixture_root):
+        ds = AirsimDataset(fixture_root, split="train", target_view="6agent")
+        a = list(GrainLoader(ds, 2, shuffle=True, seed=7))
+        b = list(GrainLoader(ds, 2, shuffle=True, seed=7))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x[0], y[0])
+
+    def test_stream_state_roundtrip(self, fixture_root):
+        ds = AirsimDataset(fixture_root, split="train", target_view="6agent")
+        dl = GrainLoader(ds, 2, shuffle=True, seed=3, drop_last=True)
+        it = dl.persistent_iterator()
+        first = next(it)
+        state = dl.get_state()
+        second = next(it)
+        # restore: the next batch replays exactly
+        dl.set_state(state)
+        replay = next(it)
+        np.testing.assert_allclose(second[0], replay[0])
+
+    def test_len(self, fixture_root):
+        ds = AirsimDataset(fixture_root, split="train", target_view="6agent")
+        assert len(GrainLoader(ds, 2, drop_last=True)) == len(ds) // 2

@@ -97,11 +97,22 @@ def main():
 
         batch_size = cfg["training"]["batch_size"]
         n_workers = cfg["training"]["n_workers"]
-        trainloader = DataLoader(
-            t_dataset, batch_size, shuffle=True, drop_last=True,
-            num_workers=n_workers, seed=seed,
-        )
-        valloader = DataLoader(v_dataset, batch_size, num_workers=n_workers)
+        if cfg["training"].get("data_backend") == "grain":
+            # deterministic, checkpointable data stream (see
+            # data/grain_pipeline.py); worker processes instead of threads
+            from multiagentperception_tpu.data.grain_pipeline import GrainLoader
+
+            trainloader = GrainLoader(
+                t_dataset, batch_size, shuffle=True, drop_last=True,
+                num_workers=0, seed=seed, num_epochs=None,
+            )
+            valloader = GrainLoader(v_dataset, batch_size)
+        else:
+            trainloader = DataLoader(
+                t_dataset, batch_size, shuffle=True, drop_last=True,
+                num_workers=n_workers, seed=seed,
+            )
+            valloader = DataLoader(v_dataset, batch_size, num_workers=n_workers)
 
         # model + services
         model = get_model(cfg, n_classes=11)
