@@ -50,21 +50,27 @@ class GrainLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
         self._gp = gp
-        operations = [gp.Batch(batch_size, drop_remainder=drop_last)]
-        self._loader = gp.DataLoader(
-            data_source=_DatasetSource(dataset),
+        self._epoch = 0
+        self._it = None
+
+    def _make_loader(self, seed: int):
+        gp = self._gp
+        return gp.DataLoader(
+            data_source=_DatasetSource(self.dataset),
             sampler=gp.IndexSampler(
-                num_records=len(dataset),
-                shuffle=shuffle,
+                num_records=len(self.dataset),
+                shuffle=self.shuffle,
                 seed=seed,
-                num_epochs=num_epochs if num_epochs is not None else 1,
+                num_epochs=1,
                 shard_options=gp.NoSharding(),
             ),
-            operations=operations,
-            worker_count=num_workers,
+            operations=[gp.Batch(self.batch_size, drop_remainder=self.drop_last)],
+            worker_count=self.num_workers,
         )
-        self._it = None
 
     def __len__(self):
         n = len(self.dataset)
@@ -73,16 +79,18 @@ class GrainLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
-        # fresh epoch iterator (matching the simple loader's semantics);
+        # fresh epoch iterator with per-epoch reshuffle (seed + epoch);
         # use persistent_iterator() for cross-checkpoint resume
-        return iter(self._loader)
+        loader = self._make_loader(self.seed + self._epoch)
+        self._epoch += 1
+        return iter(loader)
 
     # --- checkpointable stream -------------------------------------------
     def persistent_iterator(self):
         """An iterator whose position can be saved/restored
         (get_state/set_state) — store it alongside the train state."""
         if self._it is None:
-            self._it = iter(self._loader)
+            self._it = iter(self._make_loader(self.seed))
         return self._it
 
     def get_state(self) -> bytes:

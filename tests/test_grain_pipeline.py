@@ -50,3 +50,11 @@ class TestGrainLoader:
     def test_len(self, fixture_root):
         ds = AirsimDataset(fixture_root, split="train", target_view="6agent")
         assert len(GrainLoader(ds, 2, drop_last=True)) == len(ds) // 2
+
+    def test_epochs_reshuffle(self, fixture_root):
+        ds = AirsimDataset(fixture_root, split="train", target_view="6agent")
+        dl = GrainLoader(ds, 1, shuffle=True, seed=5)
+        e1 = [b[1].sum() for b in dl]  # epoch 1 order fingerprint
+        e2 = [b[1].sum() for b in dl]  # epoch 2
+        assert sorted(e1) == sorted(e2)  # same multiset of samples
+        assert e1 != e2  # different order
