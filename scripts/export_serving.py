@@ -1,0 +1,63 @@
+"""Export CLI: serialize a trained checkpoint's eval step for serving.
+
+    python scripts/export_serving.py --config <yml> --model_path <ckpt> \
+        --out model.stablehlo [--batch 8] [--inference activated]
+
+Produces a portable StableHLO artifact (jax.export) that a serving binary
+rehydrates without Python model code — see multiagentperception_tpu/export.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser(description="serving export")
+    p.add_argument("--config", required=True)
+    p.add_argument("--model_path", default=None,
+                   help="checkpoint dir; omit to export random-init weights")
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--inference", default="activated")
+    args = p.parse_args()
+
+    from multiagentperception_tpu.config import load_config
+
+    cfg = load_config(args.config)
+
+    import jax
+    import jax.numpy as jnp
+
+    from multiagentperception_tpu.checkpoint import load_checkpoint
+    from multiagentperception_tpu.export import export_serving
+    from multiagentperception_tpu.models import get_model
+    from multiagentperception_tpu.utils import init_variables
+
+    n = cfg["model"]["agent_num"]
+    img = cfg["data"]["img_rows"]
+    mo = bool(cfg["model"].get("multiple_output"))
+    model = get_model(cfg, 11)
+    shape = (args.batch, n, img, img, 3)
+    x = jnp.zeros(shape, jnp.float32)
+    variables = init_variables(
+        model, {"params": jax.random.PRNGKey(0)}, x,
+        train=False, mo_flag=mo, inference=args.inference,
+    )
+    if args.model_path:
+        restored = load_checkpoint(args.model_path)
+        variables = {
+            "params": restored["model_state"]["params"],
+            "batch_stats": restored["model_state"]["batch_stats"],
+        }
+    artifact = export_serving(
+        model, variables, shape, inference=args.inference, mo_flag=mo
+    )
+    with open(args.out, "wb") as f:
+        f.write(artifact)
+    print(f"wrote {args.out} ({len(artifact)/1e6:.1f} MB, input {shape}, "
+          f"inference={args.inference})")
+
+
+if __name__ == "__main__":
+    main()

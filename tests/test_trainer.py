@@ -190,3 +190,52 @@ class TestProfilerHook:
 
         assert glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
                          recursive=True)
+
+
+class TestMIMOcomWhoE2E:
+    def test_train_and_eval(self, fixture_root, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg(
+            "MIMOcomWho", fixture_root, tmp_path,
+            multiple_output=True, commun_label="mimo",
+            query_size=8, key_size=64, query=False,
+        )
+        trainer, vl = _build(cfg)
+        save_path = trainer.train()
+        assert save_path is not None
+        score, _ = trainer.evaluate(vl)  # default activated
+        assert 0.0 <= score["Overall Acc: \t"] <= 1.0
+
+
+class TestMIMOAllAgentsE2E:
+    def test_selection_variant_trains(self, fixture_root, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg(
+            "MIMO_All_agents", fixture_root, tmp_path,
+            multiple_output=True, commun_label="mimo",
+            shuffle_features="selection",
+        )
+        trainer, vl = _build(cfg)
+        save_path = trainer.train()
+        assert save_path is not None
+        score, _ = trainer.evaluate(vl)
+        assert 0.0 <= score["Overall Acc: \t"] <= 1.0
+
+
+class TestMixedPrecisionE2E:
+    def test_bf16_training_runs(self, fixture_root, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg("MIMOcom", fixture_root, tmp_path,
+                   multiple_output=True, commun_label="mimo",
+                   query_size=8, key_size=64)
+        cfg["training"]["mixed_precision"] = True
+        trainer, vl = _build(cfg)
+        save_path = trainer.train()
+        assert save_path is not None
+        import jax
+
+        # master params stayed f32 through bf16 training
+        leaves = jax.tree_util.tree_leaves(trainer.state.params)
+        import jax.numpy as jnp
+
+        assert all(l.dtype == jnp.float32 for l in leaves)
