@@ -400,11 +400,14 @@ class Trainer:
         if self.writer is not None:
             self.writer.add_scalar("loss/val_loss", self._val_loss_avg, i)
         self.logger.info("Iter %d Loss: %.4f", i, self._val_loss_avg)
-        for title, (score, class_iou) in (
-            ("Normal", rm.get_only_normal_scores()),
-            ("Noise", rm.get_only_noise_scores()),
-            ("Overall", rm.get_scores()),
-        ):
+        sections = []
+        if self.if_commun_label != "None":
+            sections += [
+                ("Normal", rm.get_only_normal_scores()),
+                ("Noise", rm.get_only_noise_scores()),
+            ]
+        sections.append(("Overall", rm.get_scores()))
+        for title, (score, class_iou) in sections:
             print(title)
             rm.print_score(self.n_classes, score, class_iou)
         if self.writer is not None:
@@ -508,11 +511,14 @@ class Trainer:
         if running_metrics.count > 0:
             print("Bandwidth: " + str(running_metrics.get_avg_bandW()))
 
-        for title, (score, class_iou) in (
-            ("Normal", running_metrics.get_only_normal_scores()),
-            ("Noise", running_metrics.get_only_noise_scores()),
-            ("Overall", running_metrics.get_scores()),
-        ):
+        sections = []
+        if self.if_commun_label != "None":
+            sections += [
+                ("Normal", running_metrics.get_only_normal_scores()),
+                ("Noise", running_metrics.get_only_noise_scores()),
+            ]
+        sections.append(("Overall", running_metrics.get_scores()))
+        for title, (score, class_iou) in sections:
             print(title)
             running_metrics.print_score(self.n_classes, score, class_iou)
 
