@@ -239,3 +239,35 @@ class TestMixedPrecisionE2E:
         import jax.numpy as jnp
 
         assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+class TestWhen2ComE2E:
+    def test_srms_when2com_full_cycle(self, fixture_root, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg(
+            "LearnWhen2Com", fixture_root, tmp_path,
+            agent_num=6, commun_label="when2com",
+            query_size=8, key_size=64, multiple_output=False,
+        )
+        trainer, vl = _build(cfg)
+        save_path = trainer.train()
+        assert save_path is not None
+        # default eval mode is 'activated' with bandwidth accounting
+        score, _ = trainer.evaluate(vl)
+        assert 0.0 <= score["Overall Acc: \t"] <= 1.0
+
+
+class TestAllAgentsE2E:
+    def test_srms_randcom_selection_rng(self, fixture_root, tmp_path, monkeypatch):
+        # exercises the trainer's action-RNG plumbing (random supporter pick)
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg(
+            "All_agents", fixture_root, tmp_path,
+            agent_num=6, commun_label="when2com",
+            shuffle_features="selection", multiple_output=False,
+        )
+        trainer, vl = _build(cfg)
+        save_path = trainer.train()
+        assert save_path is not None
+        score, _ = trainer.evaluate(vl)
+        assert 0.0 <= score["Overall Acc: \t"] <= 1.0
