@@ -1,16 +1,20 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Measures eval throughput of the flagship mrms_when2com (MIMOcom) model:
-N=6 agents, 512x512 inputs, 'activated' bandwidth-pruned inference, bf16
-compute — the reference's headline eval path (trainer.py:774-840) — on one
-TPU chip.
+Measures the flagship mrms_when2com (MIMOcom) model on one TPU chip:
+
+- **eval**: N=6 agents, 512x512, 'activated' bandwidth-pruned inference,
+  bf16 — the reference's headline eval path (trainer.py:774-840);
+- **train**: one full optimization step (forward + BN stats + backward +
+  adam), the reference's emitted Time/Image metric (trainer.py:675-688);
+- **MFU**: XLA-counted FLOPs of the jitted eval step divided by device time
+  and the chip's peak bf16 rate, so the "compute-bound" claim is checkable.
 
 Methodology: this image reaches the TPU through a tunnel with ~20 ms fixed
 round-trip per dispatch, so naive per-call timing measures the network, not
-the chip. The harness therefore runs K eval steps inside ONE jitted
+the chip. The harness therefore runs K steps inside ONE jitted
 ``lax.fori_loop`` (each step data-dependent on the last so nothing is
 hoisted) and reports (t(K_hi) - t(K_lo)) / (K_hi - K_lo) — pure device time
-per step, which is also what a pipelined production eval loop achieves since
+per step, which is also what a pipelined production loop achieves since
 async dispatch hides the RTT.
 
 ``vs_baseline`` is the ratio against the PyTorch reference measured on this
@@ -19,7 +23,11 @@ in this image — see BASELINE.md for methodology and caveats).
 
 A frame = one camera view through the full pipeline (batch x agent_num frames
 per forward), matching the reference's Time/Image accounting normalized by
-batch (trainer.py:675-688).
+batch.
+
+``python bench.py --sweep`` additionally sweeps the eval batch size and
+prints a fps-vs-batch table to stderr (used to pick the default batch; see
+BASELINE.md for the recorded sweep).
 """
 
 from __future__ import annotations
@@ -34,8 +42,19 @@ import numpy as np
 # this host): 15378.6 ms/step at batch=2 -> 0.780 frames/sec.
 TORCH_CPU_BASELINE_FPS = 0.780
 
+# Peak dense bf16 matmul rates per chip generation (public spec sheets).
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
-def _build(batch, img, agents, dtype):
+
+def _build(batch, img, agents, dtype, train=False):
     import jax
     import jax.numpy as jnp
 
@@ -45,24 +64,39 @@ def _build(batch, img, agents, dtype):
 
     cfg = normalize_config({
         "model": {"arch": "MIMOcom", "agent_num": agents, "query_size": 32,
-                  "key_size": 1024, "multiple_output": True},
+                  "key_size": 1024, "multiple_output": True,
+                  "dtype": "bfloat16" if dtype == jnp.bfloat16 else "float32"},
         "data": {"img_rows": img, "img_cols": img},
     })
     model = get_model(cfg, 11)
     x = jnp.zeros((batch, agents, img, img, 3), jnp.float32)
+    kwargs = (dict(train=True, mo_flag=True) if train
+              else dict(train=False, mo_flag=True, inference="activated"))
     variables = init_variables(
-        model, {"params": jax.random.PRNGKey(0)}, x,
-        train=False, mo_flag=True, inference="activated",
-    )
-    if dtype == jnp.bfloat16:
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-            variables,
-        )
+        model, {"params": jax.random.PRNGKey(0)}, x, **kwargs)
     return model, variables
 
 
+def _amortized_device_time(make_loop, run_args, k_lo, k_hi):
+    """Device seconds per step from two on-device loop lengths."""
+    import jax
+
+    def run(loop):
+        h = loop(*run_args)
+        np.asarray(jax.tree_util.tree_leaves(h)[0])  # force completion
+        t0 = time.time()
+        h = loop(*run_args)
+        np.asarray(jax.tree_util.tree_leaves(h)[0])
+        return time.time() - t0
+
+    lo, hi = make_loop(k_lo), make_loop(k_hi)
+    t_lo = min(run(lo), run(lo))
+    t_hi = min(run(hi), run(hi))
+    return (t_hi - t_lo) / (k_hi - k_lo)
+
+
 def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True):
+    """Returns (frames_per_sec, step_seconds, xla_flops_per_step|None)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -73,49 +107,98 @@ def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True):
     model, variables = _build(batch, img, agents, dtype)
 
     rng = np.random.default_rng(0)
-    xs = jnp.asarray(
-        rng.normal(size=(batch, agents, img, img, 3)), dtype
-    )
+    xs = jnp.asarray(rng.normal(size=(batch, agents, img, img, 3)), dtype)
     ys = jnp.asarray(
-        rng.integers(0, 11, size=(batch * agents, img, img)), jnp.int32
-    )
+        rng.integers(0, 11, size=(batch * agents, img, img)), jnp.int32)
+
+    def eval_step(variables, x, labels):
+        pred, prob, action, nc = model.apply(
+            variables, x, train=False, mo_flag=True, inference="activated")
+        return confusion_matrix(labels, jnp.argmax(pred, axis=-1), 11)
 
     def make_loop(k):
         @jax.jit
         def loop(variables, images, labels):
             def body(i, carry):
                 hist, x = carry
-                pred, prob, action, nc = model.apply(
-                    variables, x, train=False, mo_flag=True,
-                    inference="activated",
-                )
-                cls = jnp.argmax(pred, axis=-1)
-                hist = hist + confusion_matrix(labels, cls, 11)
+                hist = hist + eval_step(variables, x, labels)
                 # data-dependence between steps so nothing is hoisted
                 x = x + jnp.asarray(1e-6, x.dtype) * (i + 1)
                 return hist, x
 
             hist, _ = lax.fori_loop(
-                0, k, body, (jnp.zeros((11, 11), jnp.float32), images)
-            )
+                0, k, body, (jnp.zeros((11, 11), jnp.float32), images))
             return hist
 
         return loop
 
-    def run(loop):
-        h = loop(variables, xs, ys)
-        np.asarray(h)  # forces completion through the tunnel
-        t0 = time.time()
-        h = loop(variables, xs, ys)
-        np.asarray(h)
-        return time.time() - t0
+    dt = _amortized_device_time(make_loop, (variables, xs, ys), k_lo, k_hi)
 
-    lo, hi = make_loop(k_lo), make_loop(k_hi)
-    t_lo = min(run(lo), run(lo))
-    t_hi = min(run(hi), run(hi))
-    dt = (t_hi - t_lo) / (k_hi - k_lo)
-    frames = batch * agents
-    return frames / dt, dt
+    flops = None
+    try:
+        cost = jax.jit(eval_step).lower(variables, xs, ys).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:  # cost analysis is best-effort
+        pass
+
+    return batch * agents / dt, dt, flops
+
+
+def bench_train(batch=8, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True):
+    """Full train step (fwd + BN + bwd + adam). Returns (fps, step_seconds)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax import lax
+
+    from multiagentperception_tpu.loss import cross_entropy2d
+
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    model, variables = _build(batch, img, agents, dtype, train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-5)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(batch, agents, img, img, 3)), jnp.float32)
+    ys = jnp.asarray(
+        rng.integers(0, 11, size=(batch * agents, img, img)), jnp.int32)
+
+    def one_step(carry, images, labels):
+        params, batch_stats, opt_state = carry
+
+        def loss_fn(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                train=True, mo_flag=True, mutable=["batch_stats"])
+            return cross_entropy2d(out[0], labels), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_stats, new_opt), loss
+
+    def make_loop(k):
+        @jax.jit
+        def loop(params, batch_stats, opt_state, images, labels):
+            def body(i, carry):
+                state, acc, x = carry
+                state, loss = one_step(state, x, labels)
+                x = x + jnp.asarray(1e-6, x.dtype) * (i + 1)
+                return state, acc + loss, x
+
+            _, acc, _ = lax.fori_loop(
+                0, k, body,
+                ((params, batch_stats, opt_state), jnp.float32(0), images))
+            return acc
+
+        return loop
+
+    dt = _amortized_device_time(
+        make_loop, (params, batch_stats, opt_state, xs, ys), k_lo, k_hi)
+    return batch * agents / dt, dt
 
 
 def bench_eval_dispatch(batch=16, img=512, agents=6, iters=10, use_bf16=True):
@@ -133,8 +216,7 @@ def bench_eval_dispatch(batch=16, img=512, agents=6, iters=10, use_bf16=True):
     @jax.jit
     def eval_fn(variables, images, labels):
         pred, prob, action, nc = model.apply(
-            variables, images, train=False, mo_flag=True, inference="activated"
-        )
+            variables, images, train=False, mo_flag=True, inference="activated")
         return confusion_matrix(labels, jnp.argmax(pred, axis=-1), 11)
 
     rng = np.random.default_rng(0)
@@ -147,27 +229,76 @@ def bench_eval_dispatch(batch=16, img=512, agents=6, iters=10, use_bf16=True):
         np.asarray(eval_fn(variables, xs, ys))
         ts.append(time.time() - t0)
     dt = min(ts)
-    return batch * agents / dt, dt
+    return batch * agents / dt, dt, None
+
+
+def _device_peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    return kind, PEAK_BF16_FLOPS.get(kind)
+
+
+def sweep(batches=(8, 16, 20, 24, 32)):
+    for b in batches:
+        try:
+            fps, dt, flops = bench_eval(batch=b)
+            mfu = ""
+            if flops:
+                kind, peak = _device_peak_flops()
+                if peak:
+                    mfu = f"  mfu={flops / dt / peak * 100:.1f}%"
+            print(f"batch={b:3d}  step={dt * 1000:8.2f} ms  fps={fps:8.1f}"
+                  f"  fps/frame-batch={fps / (b * 6):6.2f}{mfu}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"batch={b}: failed ({e!r})", file=sys.stderr)
 
 
 def main():
+    if "--sweep" in sys.argv:
+        sweep()
+        return
+
+    # batch 20 is the measured throughput knee on v5e (see BASELINE.md sweep:
+    # 20 -> 2603 f/s @ 55% MFU; 22-28 is a ~40% MFU cliff; 40 matches 20's
+    # throughput at 2x the latency/memory)
+    eval_batch = 20
     try:
-        fps, dt = bench_eval()
+        fps, dt, flops = bench_eval(batch=eval_batch)
     except Exception as e:  # remote-compile flake: degrade, don't die
         print(f"on-device-loop bench failed ({e!r}); falling back to "
               f"per-dispatch timing (RTT-inclusive, under-reports)",
               file=sys.stderr)
-        fps, dt = bench_eval_dispatch()
-    print(
-        f"device step={dt*1000:.2f} ms  fps={fps:.2f}  "
-        f"baseline(torch-cpu)={TORCH_CPU_BASELINE_FPS}",
-        file=sys.stderr,
-    )
+        fps, dt, flops = bench_eval_dispatch(batch=eval_batch)
+
+    extra = {"eval_step_ms": round(dt * 1000, 2), "eval_batch": eval_batch}
+
+    kind, peak = _device_peak_flops()
+    extra["device_kind"] = kind
+    if flops:
+        extra["eval_xla_tflops_per_step"] = round(flops / 1e12, 2)
+        extra["eval_tflops_per_sec"] = round(flops / dt / 1e12, 1)
+        if peak:
+            extra["eval_mfu_pct"] = round(flops / dt / peak * 100, 1)
+
+    try:
+        train_fps, train_dt = bench_train()
+        extra["train_frames_per_sec"] = round(train_fps, 2)
+        extra["train_step_ms"] = round(train_dt * 1000, 2)
+        extra["train_batch"] = 8
+    except Exception as e:
+        print(f"train bench failed ({e!r}); eval-only result", file=sys.stderr)
+
+    print(f"device eval step={dt * 1000:.2f} ms  fps={fps:.2f}  "
+          f"extra={extra}  baseline(torch-cpu)={TORCH_CPU_BASELINE_FPS}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "eval_frames_per_sec_mrms_when2com_512_activated",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / TORCH_CPU_BASELINE_FPS, 2),
+        **extra,
     }))
 
 

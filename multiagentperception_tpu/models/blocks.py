@@ -40,11 +40,16 @@ class ConvBNRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        # Explicit symmetric padding (k-1)//2 == the reference's torch
+        # `padding=1` for its 3x3 convs. This equals SAME at stride 1 but at
+        # stride 2 SAME pads (0, 1) while torch pads (1, 1) — different window
+        # alignment, so explicit padding is required for reference parity.
+        p = (self.kernel_size - 1) // 2
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
-            padding="SAME" if self.kernel_size > 1 else "VALID",
+            padding=[(p, p), (p, p)],
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
             kernel_init=conv_init,
@@ -123,9 +128,10 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         residual = x
+        # torch-style padding=1 (see ConvBNRelu: SAME mis-aligns at stride 2)
         y = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
-            padding="SAME", use_bias=False, kernel_init=conv_init,
+            padding=[(1, 1), (1, 1)], use_bias=False, kernel_init=conv_init,
             dtype=self.dtype,
         )(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,

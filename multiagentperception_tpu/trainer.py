@@ -462,10 +462,24 @@ class Trainer:
             loader = self.valloader or self.trainloader
             first = next(iter(loader))
             self.state = self._init_state(first[0])
-        restored = load_checkpoint(model_path)
+        if os.path.isfile(model_path):
+            # A plain file is a reference torch checkpoint (.pkl saved by
+            # /root/reference/ptsemseg/trainer.py:229-240); orbax checkpoints
+            # are directories. Convert the torch state_dict into our PyTree
+            # (compat/torch_import.py) so reference-trained weights evaluate
+            # here directly (reference load path: trainer.py:770-772).
+            from multiagentperception_tpu.compat import load_reference_checkpoint
+
+            template = {"params": self.state.params,
+                        "batch_stats": self.state.batch_stats}
+            variables = load_reference_checkpoint(
+                self.cfg, self.n_classes, model_path, template)
+        else:
+            restored = load_checkpoint(model_path)
+            variables = restored["model_state"]
         self.state = self.state.replace(
-            params=restored["model_state"]["params"],
-            batch_stats=restored["model_state"]["batch_stats"],
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
         )
 
     def evaluate(self, testloader, inference_mode: str | None = None):

@@ -10,6 +10,8 @@ import sys
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # e2e: full train/eval cycles
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -15,6 +15,8 @@ from multiagentperception_tpu.models import get_model
 from multiagentperception_tpu.trainer import _EVAL_DEFAULT, get_trainer
 from multiagentperception_tpu.utils import init_variables
 
+pytestmark = pytest.mark.slow  # e2e: full train/eval cycles
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "*", "*.yml")))
 H = 128

@@ -17,6 +17,8 @@ from multiagentperception_tpu.optimizers import get_optimizer
 from multiagentperception_tpu.schedulers import get_scheduler
 from multiagentperception_tpu.trainer import get_trainer
 
+pytestmark = pytest.mark.slow  # e2e: full train/eval cycles
+
 logger = logging.getLogger("test")
 
 H = 128
