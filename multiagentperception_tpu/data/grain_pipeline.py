@@ -29,6 +29,14 @@ class _DatasetSource:
     def __getitem__(self, index: int):
         return self._ds[int(index)]
 
+    def __repr__(self) -> str:
+        # grain validates repr(data_source) when restoring iterator state; the
+        # default repr embeds the object id, which breaks restore-into-a-fresh
+        # -loader (checkpoint resume). Identify by content instead.
+        root = getattr(self._ds, "root", "?")
+        split = getattr(self._ds, "split", "?")
+        return f"_DatasetSource(root={root!r}, split={split!r}, n={len(self._ds)})"
+
 
 class GrainLoader:
     """Drop-in replacement for data.pipeline.DataLoader with checkpointable
@@ -57,7 +65,7 @@ class GrainLoader:
         self._epoch = 0
         self._it = None
 
-    def _make_loader(self, seed: int):
+    def _make_loader(self, seed: int, num_epochs: int | None = 1):
         gp = self._gp
         return gp.DataLoader(
             data_source=_DatasetSource(self.dataset),
@@ -65,7 +73,7 @@ class GrainLoader:
                 num_records=len(self.dataset),
                 shuffle=self.shuffle,
                 seed=seed,
-                num_epochs=1,
+                num_epochs=num_epochs,
                 shard_options=gp.NoSharding(),
             ),
             operations=[gp.Batch(self.batch_size, drop_remainder=self.drop_last)],
@@ -87,10 +95,12 @@ class GrainLoader:
 
     # --- checkpointable stream -------------------------------------------
     def persistent_iterator(self):
-        """An iterator whose position can be saved/restored
-        (get_state/set_state) — store it alongside the train state."""
+        """The endless (num_epochs=None, per-epoch reshuffled) iterator whose
+        position saves/restores with get_state/set_state — the trainer
+        iterates this one and checkpoints its position beside the train
+        state, so a resumed run continues exactly mid-epoch."""
         if self._it is None:
-            self._it = iter(self._make_loader(self.seed))
+            self._it = iter(self._make_loader(self.seed, num_epochs=None))
         return self._it
 
     def get_state(self) -> bytes:

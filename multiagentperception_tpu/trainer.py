@@ -129,11 +129,17 @@ class Trainer:
         return images
 
     def _labels(self, labels: np.ndarray) -> np.ndarray:
-        """(B, N, H, W) -> target per arch family (batch-major MO stacking)."""
+        """(B, N, H, W) -> target per arch family (batch-major MO stacking).
+
+        Targets travel as uint8: class ids are 0..10 and the ignore index is
+        250, both < 256, and the host->device link is the eval bottleneck on
+        tunneled hosts (4x less label traffic than int32)."""
         if self.MO_flag and self.arch != "All_agents":
             b, n = labels.shape[:2]
-            return labels.reshape((b * n,) + labels.shape[2:])
-        return labels[:, 0]
+            labels = labels.reshape((b * n,) + labels.shape[2:])
+        else:
+            labels = labels[:, 0]
+        return labels.astype(np.uint8, copy=False)
 
     def _apply_kwargs(self, train: bool, inference: str | None = None) -> dict:
         kw: dict = {"train": train}
@@ -239,11 +245,15 @@ class Trainer:
 
         normalize = self.normalize_on_device
 
-        def step(state: TrainState, images, labels, commun_label=None):
+        def step(state: TrainState, images, labels, rng, commun_label=None):
             if normalize:
                 images = normalize_images(images)
             variables = {"params": state.params, "batch_stats": state.batch_stats}
-            rngs = {"action": jax.random.PRNGKey(0)} if needs_rng else None
+            # fresh key per eval batch: the randcom baselines re-randomize
+            # their supporter pick every forward like the reference's
+            # random.randint (agent.py:452-456); a fixed key would evaluate a
+            # single supporter pattern instead of averaging over them
+            rngs = {"action": rng} if needs_rng else None
             out = model.apply(variables, images, rngs=rngs, **kw)
             pred_logits = out[0] if isinstance(out, tuple) else out
             pred = jnp.argmax(pred_logits, axis=-1)
@@ -288,6 +298,63 @@ class Trainer:
         metrics.update_selection(self.if_commun_label, np.asarray(commun_label), action)
 
     # ------------------------------------------------------------------
+    # eval pipelining + loader plumbing
+    # ------------------------------------------------------------------
+    def _example_images(self, loader) -> np.ndarray:
+        """A shape-correct example batch for state init WITHOUT consuming the
+        loader: ``next(iter(loader))`` would spin a producer thread that
+        prefetches and then blocks forever, leaking the thread and the first
+        epoch's leading batches."""
+        ds = getattr(loader, "dataset", None)
+        bs = getattr(loader, "batch_size", None)
+        if ds is not None and bs:
+            sample = ds[0]
+            return np.stack([np.asarray(sample[0])] * int(bs), axis=0)
+        return next(iter(loader))[0]
+
+    def _train_batches(self):
+        """Endless train-batch stream. Grain-backed loaders iterate their
+        *persistent* (checkpointable) iterator so a resumed run continues
+        mid-epoch; the default loader restarts per-epoch shuffles."""
+        if hasattr(self.trainloader, "persistent_iterator"):
+            it = self.trainloader.persistent_iterator()
+            while True:
+                yield next(it)
+        else:
+            while True:
+                yield from self.trainloader
+
+    def _dispatch_eval(self, eval_step, data_list, batch_idx: int, base_rng):
+        commun_label = None
+        if self.if_commun_label != "None":
+            images, labels, commun_label = data_list
+        else:
+            images, labels = data_list[0], data_list[1]
+        x, y = self._put_batch(self._model_inputs(images), self._labels(labels))
+        rng = jax.random.fold_in(base_rng, batch_idx)
+        args = (self.state, x, y, rng)
+        if commun_label is not None:
+            args += (jnp.asarray(commun_label),)
+        return eval_step(*args), commun_label
+
+    def _pipelined_eval(self, loader, eval_step, depth: int = 2):
+        """Yield (res, commun_label) with up to ``depth`` eval steps in
+        flight: batch k+1 is dispatched before batch k's device arrays are
+        read back, hiding the dispatch RTT (~20 ms through this image's
+        tunnel) and the device step behind host-side metric work. The
+        reference's loop is fully synchronous (trainer.py:774-840)."""
+        from collections import deque
+
+        base_rng = jax.random.PRNGKey(self.seed + 3)
+        pending: deque = deque()
+        for bi, data_list in enumerate(loader):
+            pending.append(self._dispatch_eval(eval_step, data_list, bi, base_rng))
+            if len(pending) > depth:
+                yield pending.popleft()
+        while pending:
+            yield pending.popleft()
+
+    # ------------------------------------------------------------------
     # public API (reference trainer surface)
     # ------------------------------------------------------------------
     def train(self) -> str:
@@ -295,10 +362,8 @@ class Trainer:
         start_iter = 0
         save_path = None
 
-        first = next(iter(self.trainloader))
-        images0 = first[0]
         if self.state is None:
-            self.state = self._init_state(images0)
+            self.state = self._init_state(self._example_images(self.trainloader))
 
         resume = cfg_t.get("resume")
         if resume is not None:
@@ -314,70 +379,57 @@ class Trainer:
         time_meter = averageMeter()
         best_iou = -100.0
         i = start_iter
-        flag = True
 
-        while i <= cfg_t["train_iters"] and flag:
-            for data_list in self.trainloader:
-                i += 1
-                if self.if_commun_label != "None":
-                    images, labels, commun_label = data_list
-                else:
-                    images, labels = data_list[0], data_list[1]
-
-                start_ts = time.time()
-                if self.profile_dir and i == self.profile_range[0]:
-                    jax.profiler.start_trace(self.profile_dir)
-                x, y = self._put_batch(self._model_inputs(images), self._labels(labels))
-                self.state, loss = train_step(self.state, x, y)
-                if self.profile_dir and i == self.profile_range[1]:
-                    jax.block_until_ready(self.state.params)
-                    jax.profiler.stop_trace()
-
-                if (i + 1) % cfg_t["print_interval"] == 0:
-                    loss_val = float(loss)
-                    time_meter.update(time.time() - start_ts)
-                    print_str = (
-                        f"Iter [{i + 1:d}/{cfg_t['train_iters']:d}]  "
-                        f"Loss: {loss_val:.4f}  "
-                        f"Time/Image: {time_meter.avg / cfg_t['batch_size']:.4f}"
-                    )
-                    print(print_str)
-                    self.logger.info(print_str)
-                    if self.writer is not None:
-                        self.writer.add_scalar("loss/train_loss", loss_val, i + 1)
-                    time_meter.reset()
-                else:
-                    time_meter.update(time.time() - start_ts)
-
-                if i % cfg_t["val_interval"] == 0 or i == cfg_t["train_iters"]:
-                    self._validate(i, val_loss_meter)
-                    score, _ = self.running_metrics_val.get_scores()
-                    miou = score["Mean IoU : \t"]
-                    self._log_val_scores(i)
-                    val_loss_meter.reset()
-                    self.running_metrics_val.reset()
-                    if miou >= best_iou:
-                        best_iou = miou
-                        save_path = self._save_best(i, best_iou)
-
-                if i == cfg_t["train_iters"]:
-                    flag = False
-                    break
-        return save_path
-
-    def _validate(self, i: int, val_loss_meter: averageMeter):
-        eval_step = self._eval_step_fn(None, with_loss=True)
-        for data_list in self.valloader:
-            commun_label = None
+        for data_list in self._train_batches():
+            i += 1
             if self.if_commun_label != "None":
                 images, labels, commun_label = data_list
             else:
                 images, labels = data_list[0], data_list[1]
+
+            start_ts = time.time()
+            if self.profile_dir and i == self.profile_range[0]:
+                jax.profiler.start_trace(self.profile_dir)
             x, y = self._put_batch(self._model_inputs(images), self._labels(labels))
-            args = (self.state, x, y)
-            if commun_label is not None:
-                args += (jnp.asarray(commun_label),)
-            res = eval_step(*args)
+            self.state, loss = train_step(self.state, x, y)
+            if self.profile_dir and i == self.profile_range[1]:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+
+            if (i + 1) % cfg_t["print_interval"] == 0:
+                loss_val = float(loss)
+                time_meter.update(time.time() - start_ts)
+                print_str = (
+                    f"Iter [{i + 1:d}/{cfg_t['train_iters']:d}]  "
+                    f"Loss: {loss_val:.4f}  "
+                    f"Time/Image: {time_meter.avg / cfg_t['batch_size']:.4f}"
+                )
+                print(print_str)
+                self.logger.info(print_str)
+                if self.writer is not None:
+                    self.writer.add_scalar("loss/train_loss", loss_val, i + 1)
+                time_meter.reset()
+            else:
+                time_meter.update(time.time() - start_ts)
+
+            if i % cfg_t["val_interval"] == 0 or i == cfg_t["train_iters"]:
+                self._validate(i, val_loss_meter)
+                score, _ = self.running_metrics_val.get_scores()
+                miou = score["Mean IoU : \t"]
+                self._log_val_scores(i)
+                val_loss_meter.reset()
+                self.running_metrics_val.reset()
+                if miou >= best_iou:
+                    best_iou = miou
+                    save_path = self._save_best(i, best_iou)
+
+            if i >= cfg_t["train_iters"]:
+                break
+        return save_path
+
+    def _validate(self, i: int, val_loss_meter: averageMeter):
+        eval_step = self._eval_step_fn(None, with_loss=True)
+        for res, commun_label in self._pipelined_eval(self.valloader, eval_step):
             self.running_metrics_val.update_hist(
                 res["hist"], res.get("hist_pos"), res.get("hist_neg")
             )
@@ -440,6 +492,13 @@ class Trainer:
             f"{self.cfg['model']['arch']}_{self.cfg['data']['dataset']}_best_model.ckpt",
         )
         save_checkpoint(save_path, self._ckpt_dict(i, best_iou))
+        # checkpointable data stream (grain backend): the iterator position is
+        # variable-length bytes, so it rides as a sidecar file next to the
+        # orbax tree; resume continues mid-epoch where the reference restarts
+        # its DataLoader from scratch (reference trainer.py:59-75)
+        if hasattr(self.trainloader, "get_state"):
+            with open(save_path + ".datastate", "wb") as f:
+                f.write(self.trainloader.get_state())
         return save_path
 
     def _restore_full(self, path: str):
@@ -450,6 +509,11 @@ class Trainer:
             batch_stats=restored["model_state"]["batch_stats"],
             opt_state=restored["optimizer_state"],
         )
+        datastate = str(path) + ".datastate"
+        if os.path.exists(datastate) and hasattr(self.trainloader, "set_state"):
+            with open(datastate, "rb") as f:
+                self.trainloader.set_state(f.read())
+            self.logger.info("Restored data-stream position from '%s'", datastate)
 
     def load_weight(self, model_path: str):
         """Load params/batch_stats only (reference: trainer.py:246-248).
@@ -460,8 +524,7 @@ class Trainer:
         """
         if self.state is None:
             loader = self.valloader or self.trainloader
-            first = next(iter(loader))
-            self.state = self._init_state(first[0])
+            self.state = self._init_state(self._example_images(loader))
         if os.path.isfile(model_path):
             # A plain file is a reference torch checkpoint (.pkl saved by
             # /root/reference/ptsemseg/trainer.py:229-240); orbax checkpoints
@@ -475,7 +538,15 @@ class Trainer:
             variables = load_reference_checkpoint(
                 self.cfg, self.n_classes, model_path, template)
         else:
-            restored = load_checkpoint(model_path)
+            try:
+                # typed restore keeps shardings/dtypes (an untyped restore
+                # replicates everything and drops the training sharding)
+                restored = load_checkpoint(
+                    model_path, target=self._ckpt_dict(0, 0.0))
+            except Exception:
+                # optimizer tree on disk may differ from this session's
+                # (e.g. a different optimizer name at eval time)
+                restored = load_checkpoint(model_path)
             variables = restored["model_state"]
         self.state = self.state.replace(
             params=variables["params"],
@@ -488,22 +559,11 @@ class Trainer:
         if inference_mode is None:
             inference_mode = _EVAL_DEFAULT.get(self.arch)
         if self.state is None:
-            first = next(iter(testloader))
-            self.state = self._init_state(first[0])
+            self.state = self._init_state(self._example_images(testloader))
         eval_step = self._eval_step_fn(inference_mode, with_loss=False)
         running_metrics = runningScore(self.n_classes)
 
-        for data_list in testloader:
-            commun_label = None
-            if self.if_commun_label != "None":
-                images, labels, commun_label = data_list
-            else:
-                images, labels = data_list[0], data_list[1]
-            x, y = self._put_batch(self._model_inputs(images), self._labels(labels))
-            args = (self.state, x, y)
-            if commun_label is not None:
-                args += (jnp.asarray(commun_label),)
-            res = eval_step(*args)
+        for res, commun_label in self._pipelined_eval(testloader, eval_step):
             running_metrics.update_hist(
                 res["hist"], res.get("hist_pos"), res.get("hist_neg")
             )

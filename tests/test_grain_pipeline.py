@@ -58,3 +58,73 @@ class TestGrainLoader:
         e2 = [b[1].sum() for b in dl]  # epoch 2
         assert sorted(e1) == sorted(e2)  # same multiset of samples
         assert e1 != e2  # different order
+
+    def test_state_restores_across_instances(self, fixture_root):
+        """The stream position round-trips through bytes into a FRESH loader
+        (what checkpoint resume actually does)."""
+        ds = AirsimDataset(fixture_root, split="train", target_view="6agent")
+        a = GrainLoader(ds, 2, shuffle=True, seed=3, drop_last=True)
+        it = a.persistent_iterator()
+        next(it)
+        next(it)
+        state = a.get_state()
+        expected = next(it)
+
+        b = GrainLoader(ds, 2, shuffle=True, seed=3, drop_last=True)
+        b.set_state(state)
+        got = next(b.persistent_iterator())
+        np.testing.assert_allclose(got[0], expected[0])
+        np.testing.assert_array_equal(got[1], expected[1])
+
+
+@pytest.mark.slow
+def test_trainer_resume_continues_midepoch(fixture_root, tmp_path, monkeypatch):
+    """E2E: a grain-backed training run checkpoints its stream position
+    beside the orbax state (trainer._save_best sidecar) and a resumed run
+    continues with exactly the batch a continuous run would have seen next —
+    the reference restarts its DataLoader from scratch (trainer.py:59-75)."""
+    import logging
+    import os
+
+    from multiagentperception_tpu.config import normalize_config
+    from multiagentperception_tpu.loss import get_loss_function
+    from multiagentperception_tpu.models import get_model
+    from multiagentperception_tpu.optimizers import get_optimizer
+    from multiagentperception_tpu.trainer import get_trainer
+
+    monkeypatch.chdir(tmp_path)
+    cfg = normalize_config({
+        "model": {"arch": "Single_agent", "enc_backbone": "resnet_encoder",
+                  "dec_backbone": "simple_decoder", "feat_channel": 64,
+                  "multiple_output": True},
+        "data": {"dataset": "airsim", "img_rows": 32, "img_cols": 32,
+                 "path": fixture_root, "target_view": "6agent",
+                 "commun_label": "None"},
+        "training": {"train_iters": 2, "batch_size": 2, "val_interval": 2,
+                     "n_workers": 1, "print_interval": 10,
+                     "optimizer": {"name": "adam", "lr": 1.0e-4},
+                     "loss": {"name": "cross_entropy", "size_average": True}},
+    })
+    ds = AirsimDataset(fixture_root, split="train", target_view="6agent",
+                       img_size=(32, 32))
+    model = get_model(cfg, 11)
+    loss = get_loss_function(cfg)
+    tx = get_optimizer(cfg)
+    logger = logging.getLogger("test")
+
+    ltrain = GrainLoader(ds, 2, shuffle=True, seed=11, drop_last=True)
+    lval = DataLoader(ds, 2, num_workers=1)
+    trainer = get_trainer(cfg)(cfg, None, logger, model, loss, ltrain, lval, tx)
+    save_path = trainer.train()
+    assert save_path and os.path.exists(save_path + ".datastate")
+    # the batch a continuous run would process next
+    expected = next(ltrain.persistent_iterator())
+
+    lresume = GrainLoader(ds, 2, shuffle=True, seed=11, drop_last=True)
+    trainer2 = get_trainer(cfg)(cfg, None, logger, model, loss, lresume, lval, tx)
+    trainer2.state = trainer2._init_state(trainer2._example_images(lresume))
+    trainer2._restore_full(save_path)
+    assert int(trainer2.state.step) == 2
+    got = next(lresume.persistent_iterator())
+    np.testing.assert_allclose(got[0], expected[0])
+    np.testing.assert_array_equal(got[1], expected[1])

@@ -38,7 +38,10 @@ class TestRemat:
 
         l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
         l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
-        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        # rtol: remat reorders the recompute schedule, and the persistent
+        # compile cache may hold code generated on a different host uarch —
+        # both legally reorder f32 reductions
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
         # recompute reassociates float ops, so exact elementwise equality
         # doesn't hold on deep towers; require per-leaf alignment instead
         leaves0 = jax.tree_util.tree_flatten_with_path(g0)[0]
