@@ -109,6 +109,11 @@ class SimpleDecoder(nn.Module):
         x = nn.relu(x)
         x = nn.Conv(self.n_classes, (3, 3), padding="SAME",
                     kernel_init=conv_init, dtype=self.dtype)(x)
+        # Pre-upsample logits for the fused upsample+argmax eval epilogue
+        # (ops/pallas/upsample_argmax.py). sow is free unless the caller
+        # makes 'intermediates' mutable; with it, XLA dead-code-eliminates
+        # the resize below when only the sown tensor is consumed.
+        self.sow("intermediates", "pre_logits", x)
         b, h, w, c = x.shape
         return bilinear_resize(x, h * self.upsample, w * self.upsample)
 
@@ -128,6 +133,7 @@ class FCNDecoder(nn.Module):
         x = nn.relu(x)
         x = nn.Conv(self.n_classes, (3, 3), padding="SAME",
                     kernel_init=conv_init, dtype=self.dtype)(x)
+        self.sow("intermediates", "pre_logits", x)
         b, h, w, c = x.shape
         return bilinear_resize(x, h * self.upsample, w * self.upsample)
 

@@ -74,8 +74,10 @@ class DeconvBNRelu(nn.Module):
     """ConvTranspose(x2 up) -> BatchNorm -> ReLU (models/utils.py:148-168).
 
     The reference always uses k=3, stride=2, padding=1, output_padding=1 —
-    an exact 2x upsample; 'SAME'-padded flax ConvTranspose with stride 2
-    produces the same output geometry.
+    an exact 2x upsample. The torch-equivalent explicit pads on the
+    lhs-dilated input are (k-1-p, k-1-p+op) = (1, 2): flax 'SAME' produces
+    the same output SHAPE but splits the padding differently, mis-aligning
+    every deconv output by one pixel (caught by the torch parity goldens).
     """
 
     features: int
@@ -85,11 +87,12 @@ class DeconvBNRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        p = (self.kernel_size - 2, self.kernel_size - 1)  # torch p=1, op=1
         x = nn.ConvTranspose(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
-            padding="SAME",
+            padding=(p, p),
             kernel_init=conv_init,
             dtype=self.dtype,
         )(x)

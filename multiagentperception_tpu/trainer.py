@@ -39,6 +39,10 @@ from multiagentperception_tpu.checkpoint import load_checkpoint, save_checkpoint
 from multiagentperception_tpu.metrics import averageMeter, runningScore
 from multiagentperception_tpu.ops.comm import confusion_matrix
 from multiagentperception_tpu.ops.normalize import normalize_images
+from multiagentperception_tpu.ops.pallas.upsample_argmax import (
+    find_pre_logits,
+    upsample_argmax,
+)
 from multiagentperception_tpu.parallel.mesh import (
     batch_sharding,
     param_shardings,
@@ -254,9 +258,23 @@ class Trainer:
             # random.randint (agent.py:452-456); a fixed key would evaluate a
             # single supporter pattern instead of averaging over them
             rngs = {"action": rng} if needs_rng else None
-            out = model.apply(variables, images, rngs=rngs, **kw)
+            pre = None
+            if with_loss:
+                out = model.apply(variables, images, rngs=rngs, **kw)
+            else:
+                # capture the decoder's pre-upsample logits: the fused
+                # Pallas upsample+argmax epilogue then computes the class
+                # map in VMEM and XLA dead-code-eliminates the full-res
+                # logits tensor (ops/pallas/upsample_argmax.py)
+                out, mut = model.apply(
+                    variables, images, rngs=rngs,
+                    mutable=["intermediates"], **kw)
+                pre = find_pre_logits(mut.get("intermediates"))
             pred_logits = out[0] if isinstance(out, tuple) else out
-            pred = jnp.argmax(pred_logits, axis=-1)
+            if pre is not None and pre.shape[-1] == n_classes:
+                pred = upsample_argmax(pre, labels.shape[-2], labels.shape[-1])
+            else:
+                pred = jnp.argmax(pred_logits, axis=-1)
             hist = confusion_matrix(labels, pred, n_classes)
             res = {"hist": hist, "pred_count": labels.shape[0]}
             if with_loss:
@@ -597,6 +615,9 @@ class Trainer:
             running_metrics.print_score(self.n_classes, score, class_iou)
 
         score, class_iou = running_metrics.get_scores()
+        # programmatic access to selection accuracy / bandwidth / splits
+        # (the reference only prints them, trainer.py:815-838)
+        self.last_eval_metrics = running_metrics
         return score, class_iou
 
 

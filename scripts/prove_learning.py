@@ -1,0 +1,105 @@
+"""Learning-quality proof: the communication models actually LEARN to
+communicate (VERDICT round-1 Missing #2).
+
+Trains MIMOcom (the when2com flagship) on the *informative* synthetic
+fixture (data/synthetic.py:generate_informative_fixture): degraded agents'
+views are occluded while their labels stay full, and a distinct normal
+partner observes the same content — so high mIoU on the degraded agents is
+achievable ONLY by routing the partner's features through the attention
+graph, and the graph argmax must match the gt link labels.
+
+Success criteria (recorded in BASELINE.md and pinned by
+tests/test_learning.py):
+- overall mIoU on the memorized train set > 0.9;
+- mimo when2com selection accuracy > the always-self baseline
+  ((N - n_noisy) / N ~ 0.67 for 2/6 noisy agents) — i.e. the degraded
+  agents' argmax links point at their partners.
+
+Run: python scripts/prove_learning.py [--iters 400] [--cpu]
+"""
+
+import argparse
+import logging
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(iters=400, batch=4, img=128, lr=1e-4, platform=None, root=None,
+         val_interval=None, frames=32):
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    import numpy as np
+
+    from multiagentperception_tpu.config import normalize_config
+    from multiagentperception_tpu.data import AirsimDataset, DataLoader
+    from multiagentperception_tpu.data.synthetic import (
+        generate_informative_fixture,
+    )
+    from multiagentperception_tpu.loss import get_loss_function
+    from multiagentperception_tpu.models import get_model
+    from multiagentperception_tpu.optimizers import get_optimizer
+    from multiagentperception_tpu.trainer import get_trainer
+
+    root = root or os.path.join(tempfile.mkdtemp(prefix="learnfx_"), "data")
+    if not os.path.isdir(root):
+        generate_informative_fixture(root, target_view="6agent", img_size=img,
+                                     frames_per_traj=frames, n_noisy=2)
+    cfg = normalize_config({
+        "model": {"arch": "MIMOcom", "agent_num": 6,
+                  "shared_img_encoder": "unified", "attention": "general",
+                  "sparse": False, "query": True, "query_size": 32,
+                  "key_size": 1024, "enc_backbone": "resnet_encoder",
+                  "dec_backbone": "simple_decoder", "feat_squeezer": -1,
+                  "feat_channel": 512, "multiple_output": True},
+        "data": {"dataset": "airsim", "img_rows": img, "img_cols": img,
+                 "path": root, "target_view": "6agent",
+                 "commun_label": "mimo"},
+        "training": {"train_iters": iters, "batch_size": batch,
+                     "val_interval": val_interval or iters, "n_workers": 2,
+                     "print_interval": max(iters // 8, 1),
+                     "optimizer": {"name": "adam", "lr": lr},
+                     "loss": {"name": "cross_entropy", "size_average": True}},
+    })
+    ds = AirsimDataset(root, split="train", target_view="6agent",
+                       img_size=(img, img), commun_label="mimo")
+    trainloader = DataLoader(ds, batch, shuffle=True, drop_last=True,
+                             num_workers=2, seed=0)
+    evalloader = DataLoader(ds, batch, shuffle=False, num_workers=2)
+    model = get_model(cfg, 11)
+    trainer = get_trainer(cfg)(
+        cfg, None, logging.getLogger("learn"), model, get_loss_function(cfg),
+        trainloader, evalloader, get_optimizer(cfg))
+    trainer.train()
+
+    score, _ = trainer.evaluate(evalloader, inference_mode="activated")
+    rm = trainer.last_eval_metrics
+    miou = score["Mean IoU : \t"]
+    when_acc, who_acc = rm.get_selection_accuracy()
+    bandwidth = rm.get_avg_bandW() if rm.count else float("nan")
+    n_noisy, n = 2, 6
+    chance = 100.0 * (n - n_noisy) / n
+    print(f"train-set mIoU (activated): {miou:.4f}")
+    print(f"mimo when2com selection accuracy: {when_acc:.2f}% "
+          f"(always-self baseline {chance:.1f}%)")
+    print(f"who2com (noisy-agent link) accuracy: {who_acc:.2f}%")
+    print(f"avg bandwidth (links/agent): {bandwidth:.3f}")
+    return miou, when_acc, who_acc
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=400)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--root", default=None)
+    p.add_argument("--frames", type=int, default=32)
+    a = p.parse_args()
+    main(iters=a.iters, batch=a.batch, lr=a.lr,
+         platform="cpu" if a.cpu else None, root=a.root, frames=a.frames)

@@ -1,0 +1,137 @@
+"""Learning-quality evidence (VERDICT round-1 Missing #2).
+
+The measured full proof lives in BASELINE.md (scripts/prove_learning.py on
+TPU: 1500 iters on the informative fixture -> train mIoU 0.951, mimo
+selection accuracy 100% vs the 66.7% always-self baseline, bandwidth at the
+ground-truth 0.333 links/agent). CI cannot afford 1500 CPU iterations of a
+two-tower ResNet model, so this file pins:
+
+- the full proof, runnable on demand (MAP_LEARNING_FULL=1, on-chip);
+- a short-horizon CPU check that optimization makes real progress on the
+  informative fixture (loss halves) — the smoke canary for the proof's
+  moving parts (fixture causality, trainer loop, selection metrics).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_informative_fixture_is_causal(tmp_path):
+    """The labels of degraded agents are recoverable from their partner's
+    view and NOT from their own occluded view — the property that makes
+    selection learnable at all."""
+    import cv2
+
+    from multiagentperception_tpu.data.synthetic import (
+        generate_informative_fixture,
+    )
+
+    root = str(tmp_path / "fx")
+    m = generate_informative_fixture(root, img_size=128, frames_per_traj=2,
+                                     n_noisy=2)
+    from multiagentperception_tpu.data.airsim import (
+        IMAGE_MODES,
+        WEATHER,
+        read_selection_label,
+    )
+
+    labels = read_selection_label(root, "mimo")
+    cams = m["cams"]
+    checked = 0
+    for key, lab in labels.items():
+        traj, frame = key.split("/")
+        noise, link = lab[0], lab[1]
+        for a, cam in enumerate(cams):
+            scene = cv2.imread(os.path.join(root, "scene", WEATHER, traj, cam, frame))
+            seg = cv2.imread(os.path.join(
+                root, IMAGE_MODES[1], WEATHER, traj, cam, frame))[:, :, 0]
+            if noise[a]:
+                partner = cams[link[a]]
+                p_scene = cv2.imread(os.path.join(
+                    root, "scene", WEATHER, traj, partner, frame))
+                p_seg = cv2.imread(os.path.join(
+                    root, IMAGE_MODES[1], WEATHER, traj, partner, frame))[:, :, 0]
+                # own view occluded: bottom 4/5 zeroed
+                assert (scene[128 // 5:] == 0).all()
+                # partner sees the content cleanly and shares the label
+                assert (p_scene[128 // 5:] != 0).any()
+                np.testing.assert_array_equal(seg, p_seg)
+                checked += 1
+            else:
+                assert link[a] == a  # normal agents self-link
+    assert checked >= 4
+
+
+def test_short_horizon_training_progress(tmp_path):
+    """40 optimizer steps on the informative fixture: loss must drop by
+    >40% — the cheap canary that the full proof's pipeline optimizes."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import logging
+
+    from multiagentperception_tpu.config import normalize_config
+    from multiagentperception_tpu.data import AirsimDataset, DataLoader
+    from multiagentperception_tpu.data.synthetic import (
+        generate_informative_fixture,
+    )
+    from multiagentperception_tpu.loss import get_loss_function
+    from multiagentperception_tpu.models import get_model
+    from multiagentperception_tpu.optimizers import get_optimizer
+    from multiagentperception_tpu.trainer import Trainer
+
+    root = str(tmp_path / "fx")
+    generate_informative_fixture(root, img_size=128, frames_per_traj=2,
+                                 n_noisy=2)
+    cfg = normalize_config({
+        "model": {"arch": "MIMOcom", "agent_num": 6, "query_size": 8,
+                  "key_size": 64, "multiple_output": True},
+        "data": {"dataset": "airsim", "img_rows": 128, "img_cols": 128,
+                 "path": root, "target_view": "6agent",
+                 "commun_label": "mimo"},
+        "training": {"train_iters": 40, "batch_size": 2,
+                     "optimizer": {"name": "adam", "lr": 2.0e-4},
+                     "loss": {"name": "cross_entropy", "size_average": True}},
+    })
+    ds = AirsimDataset(root, split="train", target_view="6agent",
+                       img_size=(128, 128), commun_label="mimo")
+    loader = DataLoader(ds, 2, shuffle=True, drop_last=True, num_workers=2)
+    model = get_model(cfg, 11)
+    trainer = Trainer(cfg, None, logging.getLogger("t"), model,
+                      get_loss_function(cfg), loader, loader,
+                      get_optimizer(cfg))
+    trainer.state = trainer._init_state(trainer._example_images(loader))
+    step = trainer._train_step_fn()
+    losses = []
+    it = trainer._train_batches()
+    for _ in range(40):
+        images, labels, _ = next(it)
+        x, y = trainer._put_batch(trainer._model_inputs(images),
+                                  trainer._labels(labels))
+        trainer.state, loss = step(trainer.state, x, y)
+        losses.append(float(loss))
+    first = np.mean(losses[:4])
+    last = np.mean(losses[-4:])
+    assert last < 0.6 * first, (first, last, losses)
+
+
+@pytest.mark.skipif(not os.environ.get("MAP_LEARNING_FULL"),
+                    reason="full on-chip learning proof; set MAP_LEARNING_FULL=1")
+def test_full_learning_proof():
+    """The measured claim in BASELINE.md, re-runnable: MIMOcom trained 1500
+    iters on the informative fixture reaches >0.9 train mIoU with mimo
+    selection accuracy >90% (always-self baseline 66.7%)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from prove_learning import main
+
+    miou, when_acc, who_acc = main(iters=1500, frames=32)
+    assert miou > 0.9
+    assert when_acc > 90.0
+    assert who_acc > 90.0

@@ -401,3 +401,41 @@ def test_mimo_all_agents_comnet_parity():
         t_pred = tm(_t_in(x))
     j_pred = jm.apply(variables, _j_in(x), train=False)
     _close(_bm(j_pred, N_MIMO), _am(t_pred, N_MIMO))
+
+
+# --------------------------------------- non-default backbone/squeezer paths
+
+@pytest.mark.parametrize("squeezer", [2, 4])
+def test_single_agent_feat_squeezer_parity(squeezer):
+    """feat_squeezer: strided squeezer conv + desqueezer deconvs — pins the
+    ConvTranspose geometry + the deconv kernel flip in the importer."""
+    cfg = _cfg("Single_agent", IMG_SRMS, 1, feat_squeezer=squeezer)
+    rng = np.random.RandomState(10 + squeezer)
+    x = (rng.randn(B, 3, IMG_SRMS, IMG_SRMS) * 0.5).astype(np.float32)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    tm = build_reference_model(cfg, 11).eval()
+    jm = get_model(cfg, 11)
+    template = jm.init(jax.random.PRNGKey(0), xj, train=False)
+    variables = import_torch_state_dict(cfg, 11, tm.state_dict(), template)
+    with torch.no_grad():
+        t_pred = tm(torch.from_numpy(x))
+    j_pred = jm.apply(variables, xj, train=False)
+    _close(np.asarray(j_pred), _chw(t_pred))
+
+
+def test_single_agent_nsegnet_backbones_parity():
+    """n_segnet encoder+decoder registry pair (non-shipped but registered)."""
+    cfg = _cfg("Single_agent", IMG_SRMS, 1,
+               enc_backbone="n_segnet_encoder",
+               dec_backbone="n_segnet_decoder")
+    rng = np.random.RandomState(12)
+    x = (rng.randn(B, 3, IMG_SRMS, IMG_SRMS) * 0.5).astype(np.float32)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    tm = build_reference_model(cfg, 11).eval()
+    jm = get_model(cfg, 11)
+    template = jm.init(jax.random.PRNGKey(0), xj, train=False)
+    variables = import_torch_state_dict(cfg, 11, tm.state_dict(), template)
+    with torch.no_grad():
+        t_pred = tm(torch.from_numpy(x))
+    j_pred = jm.apply(variables, xj, train=False)
+    _close(np.asarray(j_pred), _chw(t_pred))
