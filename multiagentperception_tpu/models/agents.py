@@ -343,6 +343,11 @@ class MIMOcom(nn.Module):
     the kernel is ~4x faster than the unfused XLA selection, in the full
     model it is performance-neutral (the conv towers dominate and XLA fuses
     the comm step in context) — kept as the serving-build option.
+
+    ``agent_mesh``: a Mesh with an 'agent' axis enables large-N scaling —
+    the eval fusion runs as a ring over ICI (parallel/ring.py) with value
+    maps sharded by agent, never materializing the full (B, N, h, w, C)
+    tensor per device. Numerically equal to the dense path (tests/test_ring).
     """
 
     n_classes: int = 11
@@ -360,6 +365,7 @@ class MIMOcom(nn.Module):
     topk_k: int = 2
     dtype: Any = None
     use_pallas_comm: bool = False
+    agent_mesh: Any = None  # Mesh with an 'agent' axis: ring-fused comm
     remat: bool = False  # rematerialize the two encoder towers (trade FLOPs
     # for activation memory on large batches; jax.checkpoint semantics)
 
@@ -405,6 +411,32 @@ class MIMOcom(nn.Module):
         decoder = ImgDecoder(self.n_classes, self.feat_squeezer,
                              self.dec_backbone, dtype=self.dtype)
         mo = query_mat.shape[1] == n
+
+        # Agent-sharded ring path for large N (eval; full graph required):
+        # values stay sharded over the 'agent' mesh axis, fusion rotates
+        # shards over ICI (parallel/ring.py).
+        if (
+            self.agent_mesh is not None
+            and not train
+            and mo
+            and inference in ("softmax", "argmax_test", "activated")
+        ):
+            from multiagentperception_tpu.parallel.ring import sharded_comm_step
+
+            mode = {"softmax": "softmax", "argmax_test": "argmax",
+                    "activated": "activated"}[inference]
+            feat, coef, soft = sharded_comm_step(
+                attn.project(query_mat), key_mat, val_mat, self.agent_mesh,
+                mode=mode, diag_bias=0.001,
+            )
+            flat_feat = _fold_agents(feat)
+            if inference == "softmax":
+                pred2 = decoder(flat_feat, train)
+                num_connect = jnp.float32(n - 1)
+            else:
+                pred2 = decoder(jax.lax.stop_gradient(flat_feat), train)
+                num_connect = num_connect_offdiag(coef, n)
+            return pred2, soft, jnp.argmax(coef, axis=1), num_connect
 
         # Fused Pallas eval path: softmax + diag bias + mode mask + value
         # fusion in one VMEM pass (eval only — the masked modes are

@@ -1,0 +1,105 @@
+"""Agent-axis ring parallelism vs the dense on-chip communication path.
+
+8 virtual devices, mesh ('agent',): the sharded step must reproduce
+ops/comm.py's dense semantics exactly (softmax over keys, +diag bias,
+activated/argmax masks, value fusion) while never materializing the full
+value tensor per device.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from multiagentperception_tpu.ops.pallas.comm_fusion import (
+    fused_comm_step_reference,
+)
+from multiagentperception_tpu.parallel.ring import sharded_comm_step
+
+N = 8  # one agent per virtual device
+B, D, KEY, H, W, C = 2, 4, 16, 4, 4, 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < N:
+        pytest.skip(f"needs {N} devices")
+    return Mesh(np.asarray(jax.devices()[:N]), ("agent",))
+
+
+@pytest.fixture(scope="module")
+def qkv(rng):
+    q = rng.normal(size=(B, N, D)).astype(np.float32)
+    k = rng.normal(size=(B, N, D)).astype(np.float32)
+    v = rng.normal(size=(B, N, H, W, C)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("mode", ["softmax", "activated", "argmax"])
+def test_matches_dense_path(mesh, qkv, mode):
+    q, k, v = qkv
+    fused, coef, soft = sharded_comm_step(
+        q, k, v, mesh, mode=mode, diag_bias=0.001)
+    # MIMOcom's dense semantics: masked modes fuse with the biased-then-
+    # masked graph; softmax mode fuses UNBIASED and only reports the biased
+    # graph (agent.py:1155 vs 1164-1167)
+    ref_fused, _ = fused_comm_step_reference(
+        q, k, v, mode=mode, diag_bias=0.0 if mode == "softmax" else 0.001)
+    _, ref_coef = fused_comm_step_reference(q, k, v, mode=mode,
+                                            diag_bias=0.001)
+    np.testing.assert_allclose(np.asarray(coef), np.asarray(ref_coef),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref_fused),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("inference", ["softmax", "activated", "argmax_test"])
+def test_mimocom_agent_mesh_e2e(mesh, rng, inference):
+    """Full MIMOcom forward with agent_mesh == the dense model bit-for-bit
+    (same params; only the fusion schedule changes)."""
+    import jax.numpy as jnp2
+
+    from multiagentperception_tpu.models.agents import MIMOcom
+
+    kw = dict(agent_num=N, query_size=4, key_size=16, n_classes=11)
+    dense = MIMOcom(**kw)
+    ringed = MIMOcom(agent_mesh=mesh, **kw)
+    x = jnp2.asarray(rng.normal(size=(1, N, 128, 128, 3)), jnp2.float32)
+    variables = dense.init(jax.random.PRNGKey(0), x, train=False,
+                           mo_flag=True, inference="softmax")
+    d = dense.apply(variables, x, train=False, mo_flag=True,
+                    inference=inference)
+    r = ringed.apply(variables, x, train=False, mo_flag=True,
+                     inference=inference)
+    np.testing.assert_allclose(np.asarray(r[0]), np.asarray(d[0]),
+                               rtol=1e-4, atol=1e-4)  # pred
+    np.testing.assert_allclose(np.asarray(r[1]), np.asarray(d[1]),
+                               rtol=1e-5, atol=1e-6)  # prob_action
+    np.testing.assert_array_equal(np.asarray(r[2]), np.asarray(d[2]))
+    np.testing.assert_allclose(np.float32(r[3]), np.float32(d[3]), atol=1e-6)
+
+
+def test_soft_graph_is_premask(mesh, qkv):
+    q, k, v = qkv
+    _, coef, soft = sharded_comm_step(q, k, v, mesh, mode="activated",
+                                      diag_bias=0.001)
+    _, ref_soft = fused_comm_step_reference(q, k, v, mode="softmax",
+                                            diag_bias=0.001)
+    np.testing.assert_allclose(np.asarray(soft), np.asarray(ref_soft),
+                               rtol=1e-5, atol=1e-6)
+    # masked graph zeros exactly the <= thres entries of the soft graph
+    soft_np = np.asarray(soft)
+    np.testing.assert_allclose(
+        np.asarray(coef), np.where(soft_np > 0.2, soft_np, 0.0),
+        rtol=1e-6, atol=0)
+
+
+def test_values_stay_sharded(mesh, qkv):
+    """The fused output keeps the agent-axis sharding (no full gather)."""
+    q, k, v = qkv
+    fused, _, _ = sharded_comm_step(q, k, v, mesh, mode="softmax")
+    spec = fused.sharding.spec
+    assert spec[1] == "agent", spec
