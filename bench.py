@@ -54,7 +54,7 @@ PEAK_BF16_FLOPS = {
 }
 
 
-def _build(batch, img, agents, dtype, train=False):
+def _build(batch, img, agents, dtype, train=False, remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -64,7 +64,7 @@ def _build(batch, img, agents, dtype, train=False):
 
     cfg = normalize_config({
         "model": {"arch": "MIMOcom", "agent_num": agents, "query_size": 32,
-                  "key_size": 1024, "multiple_output": True,
+                  "key_size": 1024, "multiple_output": True, "remat": remat,
                   "dtype": "bfloat16" if dtype == jnp.bfloat16 else "float32"},
         "data": {"img_rows": img, "img_cols": img},
     })
@@ -146,7 +146,8 @@ def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True):
     return batch * agents / dt, dt, flops
 
 
-def bench_train(batch=8, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True):
+def bench_train(batch=8, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True,
+                remat=False):
     """Full train step (fwd + BN + bwd + adam). Returns (fps, step_seconds)."""
     import jax
     import jax.numpy as jnp
@@ -156,7 +157,8 @@ def bench_train(batch=8, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True):
     from multiagentperception_tpu.loss import cross_entropy2d
 
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
-    model, variables = _build(batch, img, agents, dtype, train=True)
+    model, variables = _build(batch, img, agents, dtype, train=True,
+                              remat=remat)
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = optax.adam(1e-5)
     opt_state = tx.init(params)
@@ -255,9 +257,24 @@ def sweep(batches=(8, 16, 20, 24, 32)):
             print(f"batch={b}: failed ({e!r})", file=sys.stderr)
 
 
+def sweep_train(configs=((2, False), (4, False), (8, False), (16, False),
+                         (8, True), (16, True))):
+    for b, remat in configs:
+        try:
+            fps, dt = bench_train(batch=b, remat=remat)
+            print(f"train batch={b:3d} remat={int(remat)}  "
+                  f"step={dt * 1000:8.2f} ms  fps={fps:7.1f}", file=sys.stderr)
+        except Exception as e:
+            print(f"train batch={b} remat={remat}: failed ({e!r})",
+                  file=sys.stderr)
+
+
 def main():
     if "--sweep" in sys.argv:
         sweep()
+        return
+    if "--sweep-train" in sys.argv:
+        sweep_train()
         return
 
     # batch 20 is the measured throughput knee on v5e (see BASELINE.md sweep:

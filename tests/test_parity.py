@@ -173,6 +173,45 @@ def test_mimocom_single_query(mimocom):
     assert np.isfinite(np.asarray(j_pred)).all()
 
 
+def test_export_roundtrip_is_exact(mimocom):
+    """flax -> torch export inverts the import bit-for-bit (transposes and
+    flips only), so checkpoints can travel both directions."""
+    from multiagentperception_tpu.compat import export_torch_state_dict
+
+    cfg, x, tm, jm, variables = mimocom
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    exported = export_torch_state_dict(cfg, variables)
+    assert len(exported) > 100
+    for k, v in exported.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(v, sd[k], err_msg=k)
+
+
+def test_exported_checkpoint_runs_in_reference(when2com, tmp_path):
+    """save_reference_checkpoint produces a .pkl the reference load path
+    accepts (convert_state_dict + load_state_dict, trainer.py:770-772), and
+    the reloaded torch model reproduces this framework's logits."""
+    from multiagentperception_tpu.compat import save_reference_checkpoint
+
+    cfg, x, tm, jm, variables = when2com
+    path = str(tmp_path / "exported.pkl")
+    save_reference_checkpoint(cfg, variables, path)
+
+    tm2 = build_reference_model(cfg, 11)
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    missing, unexpected = tm2.load_state_dict(blob["model_state"], strict=False)
+    assert not unexpected
+    tm2.eval()
+    with torch.no_grad():
+        t_pred, t_prob, _, _ = tm2(_t_in(x), training=False,
+                                   inference="softmax")
+    j_pred, j_prob, _, _ = jm.apply(
+        variables, _j_in(x), train=False, inference="softmax")
+    _close(np.asarray(j_pred), _chw(t_pred))
+    _close(j_prob, t_prob.numpy())
+
+
 def test_mimocom_loss_value(mimocom):
     """cross_entropy2d on the model outputs matches the reference loss."""
     import sys
@@ -401,6 +440,42 @@ def test_mimo_all_agents_comnet_parity():
         t_pred = tm(_t_in(x))
     j_pred = jm.apply(variables, _j_in(x), train=False)
     _close(_bm(j_pred, N_MIMO), _am(t_pred, N_MIMO))
+
+
+@pytest.mark.parametrize("shared", ["only_normal_agents", "separate"])
+def test_when2com_encoder_sharing_modes(shared):
+    """Non-unified encoder sharing: degraded+normal pair / five per-agent
+    encoders (reference agent.py:699-714; note its 'degarded' misspelling)."""
+    cfg = _cfg("LearnWhen2Com", IMG_SRMS, N_SRMS, query_size=8, key_size=32,
+               shared_img_encoder=shared, multiple_output=False)
+    x = _inputs(IMG_SRMS, N_SRMS, seed=21)
+    tm, jm, variables = _pair(
+        cfg, (_j_in(x),), dict(train=False, inference="softmax"))
+    with torch.no_grad():
+        t_pred, t_prob, _, _ = tm(_t_in(x), training=False, inference="softmax")
+    j_pred, j_prob, _, _ = jm.apply(
+        variables, _j_in(x), train=False, inference="softmax")
+    _close(np.asarray(j_pred), _chw(t_pred))
+    _close(j_prob, t_prob.numpy())
+
+
+@pytest.mark.parametrize("attention", ["additive", "scaled"])
+def test_who2com_attention_variants(attention):
+    """Additive (Bahdanau) and scaled-dot SRMS attentions (agent.py:194-239).
+
+    These default to sparsemax when the model passes sparse=True; shipped
+    configs use sparse False, tested both ways via the general test above."""
+    cfg = _cfg("LearnWho2Com", IMG_SRMS, N_SRMS, attention=attention,
+               query_size=128, key_size=128, multiple_output=False)
+    x = _inputs(IMG_SRMS, N_SRMS, seed=22)
+    tm, jm, variables = _pair(
+        cfg, (_j_in(x),), dict(train=False, inference="softmax"))
+    with torch.no_grad():
+        t_pred, t_prob, _ = tm(_t_in(x), training=False, inference="softmax")
+    j_pred, j_prob, _ = jm.apply(
+        variables, _j_in(x), train=False, inference="softmax")
+    _close(np.asarray(j_pred), _chw(t_pred))
+    _close(j_prob, t_prob.numpy())
 
 
 # --------------------------------------- non-default backbone/squeezer paths
