@@ -146,7 +146,7 @@ def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True):
     return batch * agents / dt, dt, flops
 
 
-def bench_train(batch=8, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True,
+def bench_train(batch=20, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True,
                 remat=False):
     """Full train step (fwd + BN + bwd + adam). Returns (fps, step_seconds)."""
     import jax
@@ -303,7 +303,7 @@ def main():
         train_fps, train_dt = bench_train()
         extra["train_frames_per_sec"] = round(train_fps, 2)
         extra["train_step_ms"] = round(train_dt * 1000, 2)
-        extra["train_batch"] = 8
+        extra["train_batch"] = 20
     except Exception as e:
         print(f"train bench failed ({e!r}); eval-only result", file=sys.stderr)
 

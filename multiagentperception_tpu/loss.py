@@ -45,10 +45,16 @@ def cross_entropy2d(
     tgt = target.reshape(-1)
     valid = tgt != IGNORE_INDEX
     safe_tgt = jnp.where(valid, tgt, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_tgt[:, None], axis=-1)[:, 0]
+    # One-hot select instead of take_along_axis: the row gather (and its
+    # scatter backward) serializes on TPU and measured ~200 ms per train
+    # step at (B*N*H*W, C) = (12.6M, 11); the compare+multiply+reduce over
+    # the tiny class axis fuses into the softmax and costs ~nothing.
+    onehot = jax.nn.one_hot(safe_tgt, c, dtype=jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.sum(logits * onehot, axis=-1)
+    nll = lse - picked
     if weight is not None:
-        w = weight[safe_tgt]
+        w = jnp.sum(weight.astype(jnp.float32)[None, :] * onehot, axis=-1)
         nll = nll * w
         denom = jnp.sum(w * valid)
     else:
@@ -85,8 +91,10 @@ def bootstrapped_cross_entropy2d(
         t = tgt.reshape(-1)
         valid = t != IGNORE_INDEX
         safe = jnp.where(valid, t, 0)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        logits = logits.astype(jnp.float32)
+        # one-hot select; row gathers serialize on TPU (see cross_entropy2d)
+        onehot = jax.nn.one_hot(safe, c, dtype=jnp.float32)
+        nll = jax.nn.logsumexp(logits, axis=-1) - jnp.sum(logits * onehot, -1)
         nll = jnp.where(valid, nll, 0.0)
         topk = jax.lax.top_k(nll, K)[0]
         return jnp.sum(topk) / K
