@@ -243,7 +243,7 @@ def save_reference_checkpoint(cfg: Mapping[str, Any], variables,
     import torch
 
     sd = OrderedDict(
-        (k, torch.as_tensor(np.ascontiguousarray(v)))
+        (k, torch.as_tensor(np.ascontiguousarray(v).copy()))
         for k, v in export_torch_state_dict(cfg, variables).items()
     )
     torch.save({"epoch": epoch, "model_state": sd, "best_iou": best_iou}, path)

@@ -52,7 +52,13 @@ class GrainLoader:
         num_workers: int = 0,
         seed: int = 0,
         num_epochs: int | None = None,
+        shard_options=None,
+        shard_by_process: bool = False,
     ):
+        """``shard_by_process`` splits the sample stream across jax processes
+        (multi-host DP: each host loads only its slice; the batch then
+        shards over the 'data' mesh axis on device). ``shard_options`` takes
+        an explicit ``grain.ShardOptions`` for tests/custom topologies."""
         import grain.python as gp
 
         self.dataset = dataset
@@ -62,6 +68,12 @@ class GrainLoader:
         self.seed = seed
         self.num_workers = num_workers
         self._gp = gp
+        if shard_options is None:
+            shard_options = (
+                gp.ShardByJaxProcess(drop_remainder=True)
+                if shard_by_process else gp.NoSharding()
+            )
+        self.shard_options = shard_options
         self._epoch = 0
         self._it = None
 
@@ -74,7 +86,7 @@ class GrainLoader:
                 shuffle=self.shuffle,
                 seed=seed,
                 num_epochs=num_epochs,
-                shard_options=gp.NoSharding(),
+                shard_options=self.shard_options,
             ),
             operations=[gp.Batch(self.batch_size, drop_remainder=self.drop_last)],
             worker_count=self.num_workers,

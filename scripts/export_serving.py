@@ -5,6 +5,10 @@
 
 Produces a portable StableHLO artifact (jax.export) that a serving binary
 rehydrates without Python model code — see multiagentperception_tpu/export.py.
+
+``--torch_out <path.pkl>`` additionally writes the checkpoint back in the
+reference's PyTorch format (compat/torch_export.py) so it loads in the
+original GT-RIPL/MultiAgentPerception code.
 """
 
 from __future__ import annotations
@@ -17,10 +21,15 @@ def main():
     p.add_argument("--config", required=True)
     p.add_argument("--model_path", default=None,
                    help="checkpoint dir; omit to export random-init weights")
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", default=None,
+                   help="StableHLO artifact path (jax.export)")
+    p.add_argument("--torch_out", default=None,
+                   help="also write a reference-format torch .pkl")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--inference", default="activated")
     args = p.parse_args()
+    if not (args.out or args.torch_out):
+        p.error("need --out and/or --torch_out")
 
     from multiagentperception_tpu.config import load_config
 
@@ -50,13 +59,20 @@ def main():
             "params": restored["model_state"]["params"],
             "batch_stats": restored["model_state"]["batch_stats"],
         }
-    artifact = export_serving(
-        model, variables, shape, inference=args.inference, mo_flag=mo
-    )
-    with open(args.out, "wb") as f:
-        f.write(artifact)
-    print(f"wrote {args.out} ({len(artifact)/1e6:.1f} MB, input {shape}, "
-          f"inference={args.inference})")
+    if args.out:
+        artifact = export_serving(
+            model, variables, shape, inference=args.inference, mo_flag=mo
+        )
+        with open(args.out, "wb") as f:
+            f.write(artifact)
+        print(f"wrote {args.out} ({len(artifact)/1e6:.1f} MB, input {shape}, "
+              f"inference={args.inference})")
+    if args.torch_out:
+        from multiagentperception_tpu.compat import save_reference_checkpoint
+
+        save_reference_checkpoint(cfg, jax.device_get(variables),
+                                  args.torch_out)
+        print(f"wrote {args.torch_out} (reference torch format)")
 
 
 if __name__ == "__main__":

@@ -59,6 +59,24 @@ class TestGrainLoader:
         assert sorted(e1) == sorted(e2)  # same multiset of samples
         assert e1 != e2  # different order
 
+    def test_process_sharding_partitions_stream(self, fixture_root):
+        """Multi-host DP: explicit 2-way ShardOptions split the sample
+        stream into disjoint halves that cover the dataset."""
+        import grain.python as gp
+
+        ds = AirsimDataset(fixture_root, split="train", target_view="6agent")
+        fingerprints = []
+        for shard in range(2):
+            dl = GrainLoader(
+                ds, 1, shuffle=False,
+                shard_options=gp.ShardOptions(shard_index=shard,
+                                              shard_count=2,
+                                              drop_remainder=True))
+            fingerprints.append([float(b[1].sum()) for b in dl])
+        a, b = fingerprints
+        assert len(a) == len(b) == len(ds) // 2
+        assert not (set(a) & set(b))  # disjoint samples
+
     def test_state_restores_across_instances(self, fixture_root):
         """The stream position round-trips through bytes into a FRESH loader
         (what checkpoint resume actually does)."""

@@ -478,6 +478,40 @@ def test_who2com_attention_variants(attention):
     _close(j_prob, t_prob.numpy())
 
 
+def test_all_shipped_configs_convert_at_full_resolution():
+    """Every shipped reference YAML's model converts at the real 512x512
+    checkpoint geometry: torch state_dict -> flax tree with full path/shape
+    validation (template from jax.eval_shape — no forward needed)."""
+    import glob
+
+    import yaml
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfgs = sorted(glob.glob(os.path.join(repo, "configs", "*", "*.yml")))
+    assert len(cfgs) == 10
+    for path in cfgs:
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+        tm = build_reference_model(cfg, 11)
+        jm = get_model(cfg, 11)
+        n = cfg["model"].get("agent_num") or 5
+        x = jax.ShapeDtypeStruct((1, n, 512, 512, 3), jnp.float32)
+        arch = cfg["model"]["arch"]
+        kw: dict = {"train": False}
+        if arch in ("MIMOcom", "MIMOcomWho"):
+            kw.update(mo_flag=True, inference="softmax")
+        elif arch in ("LearnWho2Com", "LearnWhen2Com"):
+            kw.update(inference="softmax")
+        elif arch == "Single_agent":
+            x = jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "action": jax.random.PRNGKey(1)}
+        template = jax.eval_shape(lambda xx: jm.init(rngs, xx, **kw), x)
+        variables = import_torch_state_dict(cfg, 11, tm.state_dict(), template)
+        n_leaves = len(jax.tree_util.tree_leaves(variables))
+        assert n_leaves > 50, (path, n_leaves)
+
+
 # --------------------------------------- non-default backbone/squeezer paths
 
 @pytest.mark.parametrize("squeezer", [2, 4])

@@ -105,6 +105,9 @@ def main():
             trainloader = GrainLoader(
                 t_dataset, batch_size, shuffle=True, drop_last=True,
                 num_workers=0, seed=seed, num_epochs=None,
+                # multi-host DP: each jax process loads its own stream slice
+                shard_by_process=bool(
+                    cfg["training"].get("shard_data_by_process")),
             )
             valloader = GrainLoader(v_dataset, batch_size)
         else:
