@@ -58,8 +58,11 @@ def test_matches_dense_path(mesh, qkv, mode):
 @pytest.mark.slow
 @pytest.mark.parametrize("inference", ["softmax", "activated", "argmax_test"])
 def test_mimocom_agent_mesh_e2e(mesh, rng, inference):
-    """Full MIMOcom forward with agent_mesh == the dense model bit-for-bit
-    (same params; only the fusion schedule changes)."""
+    """Full MIMOcom forward with agent_mesh == the dense model (same params;
+    only the fusion schedule changes). Not bit-for-bit: the sharded towers
+    convolve one agent per device instead of all N in one batch, so conv
+    reductions reassociate and keys/queries differ in the last ulp, which
+    the softmax amplifies to ~1e-5 relative on the comm graph."""
     import jax.numpy as jnp2
 
     from multiagentperception_tpu.models.agents import MIMOcom
@@ -77,7 +80,7 @@ def test_mimocom_agent_mesh_e2e(mesh, rng, inference):
     np.testing.assert_allclose(np.asarray(r[0]), np.asarray(d[0]),
                                rtol=1e-4, atol=1e-4)  # pred
     np.testing.assert_allclose(np.asarray(r[1]), np.asarray(d[1]),
-                               rtol=1e-5, atol=1e-6)  # prob_action
+                               rtol=2e-4, atol=1e-6)  # prob_action
     np.testing.assert_array_equal(np.asarray(r[2]), np.asarray(d[2]))
     np.testing.assert_allclose(np.float32(r[3]), np.float32(d[3]), atol=1e-6)
 
