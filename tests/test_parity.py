@@ -548,3 +548,82 @@ def test_single_agent_nsegnet_backbones_parity():
         t_pred = tm(torch.from_numpy(x))
     j_pred = jm.apply(variables, xj, train=False)
     _close(np.asarray(j_pred), _chw(t_pred))
+
+
+def test_cross_framework_miou_identical(mimocom):
+    """The north-star clause "at identical mIoU", end to end: the same
+    weights and batches driven through BOTH frameworks' full eval metric
+    stacks — model forward ('activated'), argmax predictions, confusion
+    matrices incl. the Normal/Noise split (update_div), bandwidth, and
+    mimo selection accuracy — must produce the same score tables.
+
+    Reference loop: trainer.py:774-840; reference metrics: metrics.py.
+    The torch side stacks agent-major and feeds torch tensors, ours stacks
+    batch-major and feeds numpy, exactly as each trainer does."""
+    import importlib
+    import sys
+
+    from multiagentperception_tpu.metrics import runningScore
+
+    cfg, _, tm, jm, variables = mimocom
+    n = N_MIMO
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    ref_metrics = importlib.import_module("ptsemseg.metrics")
+
+    rs_ref = ref_metrics.runningScore(11)
+    rs_ours = runningScore(11)
+    rng = np.random.RandomState(7)
+
+    for batch in range(2):
+        x = _inputs(IMG_MIMO, n, seed=100 + batch)
+        labels = rng.randint(0, 11, size=(B, n, IMG_MIMO, IMG_MIMO))
+        commun = np.stack([
+            rng.randint(0, 2, size=(B, n)),          # noise flags
+            rng.randint(0, n, size=(B, n)),          # link targets
+        ], axis=1).astype(np.int64)                   # (B, 2, N)
+
+        # ---- reference stack (agent-major, torch) ----
+        with torch.no_grad():
+            t_out, _, t_action, t_bw = tm(
+                _t_in(x), training=False, MO_flag=True, inference="activated")
+        t_pred = t_out.max(1)[1].numpy()              # (n*B, H, W) agent-major
+        t_gt = labels.transpose(1, 0, 2, 3).reshape(n * B, IMG_MIMO, IMG_MIMO)
+        cl = torch.from_numpy(commun)
+        rs_ref.update(t_gt, t_pred)
+        rs_ref.update_bandW(t_bw)
+        rs_ref.update_div("mimo", t_gt, t_pred, cl)
+        rs_ref.update_selection("mimo", cl, t_action)
+
+        # ---- this framework (batch-major, numpy) ----
+        j_out, _, j_action, j_bw = jm.apply(
+            variables, _j_in(x), train=False, mo_flag=True,
+            inference="activated")
+        j_pred = np.asarray(jnp.argmax(j_out, axis=-1))  # (B*n, H, W)
+        j_gt = labels.reshape(B * n, IMG_MIMO, IMG_MIMO)
+        rs_ours.update(j_gt, j_pred)
+        rs_ours.update_bandW(float(j_bw))
+        rs_ours.update_div("mimo", j_gt, j_pred, commun)
+        rs_ours.update_selection("mimo", commun, np.asarray(j_action))
+
+        # predictions agree pixel-for-pixel up to argmax ties at near-equal
+        # logits (cross-framework float noise ~1e-3)
+        t_pred_bm = t_pred.reshape(n, B, IMG_MIMO, IMG_MIMO)
+        t_pred_bm = t_pred_bm.transpose(1, 0, 2, 3).reshape(j_pred.shape)
+        frac_diff = (t_pred_bm != j_pred).mean()
+        assert frac_diff < 5e-3, f"{frac_diff:.2%} of pixels disagree"
+
+    for (ours, ref) in [
+        (rs_ours.get_scores(), rs_ref.get_scores()),
+        (rs_ours.get_only_normal_scores(), rs_ref.get_only_normal_scores()),
+        (rs_ours.get_only_noise_scores(), rs_ref.get_only_noise_scores()),
+    ]:
+        for key in ref[0]:
+            np.testing.assert_allclose(ours[0][key], ref[0][key], atol=2e-3)
+        for c in range(11):
+            np.testing.assert_allclose(ours[1][c], ref[1][c], atol=5e-3,
+                                       err_msg=f"class {c} IoU")
+    np.testing.assert_allclose(rs_ours.get_avg_bandW(),
+                               rs_ref.get_avg_bandW(), atol=1e-6)
+    np.testing.assert_allclose(rs_ours.get_selection_accuracy(),
+                               rs_ref.get_selection_accuracy(), atol=1e-9)
