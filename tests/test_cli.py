@@ -99,6 +99,32 @@ class TestTrainCLI:
         )
         assert r.returncode == 0, r.stderr[-3000:]
 
+    def test_run_time_multi_run_aggregates(self, workdir):
+        """--run_time N repeats with distinct seeds and prints the mean±std
+        aggregate the reference's dead score_list code intended
+        (reference train.py:76-105, 107)."""
+        cfg = yaml.safe_load(open(workdir / "smoke.yml"))
+        cfg["model"] = {"arch": "Single_agent", "agent_num": 6,
+                        "enc_backbone": "resnet_encoder",
+                        "dec_backbone": "simple_decoder",
+                        "feat_squeezer": -1, "feat_channel": 512,
+                        "multiple_output": True}
+        cfg["data"]["commun_label"] = "None"
+        with open(workdir / "multi.yml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "train.py"),
+             "--config", "multi.yml", "--run_time", "2"],
+            cwd=workdir, env=_env(), capture_output=True, text=True,
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "Aggregate over 2 runs" in r.stdout
+        assert "Mean IoU" in r.stdout
+        assert r.stdout.count("RUNDIR") == 2
+        runs = glob.glob(str(workdir / "runs" / "multi" / "*"))
+        assert len(runs) == 2
+
     def test_missing_model_path_errors(self, workdir):
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "test.py"),

@@ -53,8 +53,15 @@ def main():
     from multiagentperception_tpu.trainer import get_trainer
     from multiagentperception_tpu.utils import get_logger
 
-    for _ in range(args.run_time):
+    # multi-run aggregation: the reference pre-allocates per-run score lists
+    # but never fills them (train.py:76-105, dead code) — implemented here.
+    score_list: list = []
+    class_iou_list: list = []
+
+    for run_idx in range(args.run_time):
         run_id = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+        if args.run_time > 1:  # fast repeats can share a timestamp second
+            run_id = f"{run_id}-r{run_idx}"
         logdir = os.path.join(
             "runs", os.path.basename(args.config)[:-4], str(run_id)
         )
@@ -71,7 +78,11 @@ def main():
         logger = get_logger(logdir)
         logger.info("Begin")
 
-        seed = int(cfg["training"].get("seed", 1337))
+        # vary the seed per repeat: the reference seeds once globally and
+        # lets RNG state advance across repeats (train.py:122-125), so its
+        # runs differ; re-seeding each run identically would make
+        # --run_time N produce N identical runs
+        seed = int(cfg["training"].get("seed", 1337)) + run_idx
         random.seed(seed)
         np.random.seed(seed)
 
@@ -160,9 +171,21 @@ def main():
         testloader = DataLoader(te_dataset, batch_size, num_workers=n_workers)
         if save_path is not None:
             trainer.load_weight(save_path)
-        trainer.evaluate(testloader)
+        score, class_iou = trainer.evaluate(testloader)
+        score_list.append(score)
+        class_iou_list.append(class_iou)
         if writer is not None:
             writer.close()
+
+    if args.run_time > 1:
+        print(f"=== Aggregate over {args.run_time} runs (mean ± std) ===")
+        for key in score_list[0]:
+            vals = np.asarray([s[key] for s in score_list], np.float64)
+            print(f"{key}{vals.mean():.4f} ± {vals.std():.4f}")
+        for c in sorted(class_iou_list[0]):
+            vals = np.asarray([ci[c] for ci in class_iou_list], np.float64)
+            print(f"class {c} IoU: \t{np.nanmean(vals):.4f} "
+                  f"± {np.nanstd(vals):.4f}")
 
 
 if __name__ == "__main__":
