@@ -4,6 +4,7 @@ and match outputs."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multiagentperception_tpu.config import normalize_config
 from multiagentperception_tpu.export import export_serving, load_serving, make_eval_fn
@@ -11,6 +12,8 @@ from multiagentperception_tpu.models import get_model
 from multiagentperception_tpu.utils import init_variables
 
 H = 128
+
+pytestmark = pytest.mark.slow  # CPU compile of two full MIMOcom programs (~5 min on 1 core)
 
 
 class TestServingExport:

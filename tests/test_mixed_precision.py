@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multiagentperception_tpu.config import normalize_config
 from multiagentperception_tpu.models import get_model
@@ -21,6 +22,7 @@ def _cfg(mixed, **model_kw):
 
 
 class TestMixedPrecision:
+    @pytest.mark.slow  # bf16 train-mode compile ~2.5 min on 1 CPU core
     def test_params_stay_f32_output_bf16(self):
         model = get_model(_cfg(True), 11)
         x = jnp.zeros((1, 3, H, H, 3), jnp.float32)

@@ -50,6 +50,7 @@ class TestAllAgents:
         _, out = _init_apply(model, x)
         assert out.shape == (1, H, W, NC)
 
+    @pytest.mark.slow  # action-rng train compile is the slow path here
     def test_selection_returns_action(self):
         model = get_model(_cfg("All_agents", agent_num=5, shuffle_features="selection"), NC)
         x = jnp.zeros((2, 5, H, W, 3))
@@ -113,6 +114,7 @@ class TestLearnWhen2Com:
         variables = init_variables(model, {"params": jax.random.PRNGKey(0)}, x, train=True)
         return model, variables, x
 
+    @pytest.mark.slow  # train-mode (batch_stats-mutating) compile
     def test_training(self, setup):
         model, variables, x = setup
         (pred, prob, action), _ = model.apply(variables, x, train=True, mutable=['batch_stats'])
@@ -146,6 +148,7 @@ class TestMIMOcom:
         variables = init_variables(model, {"params": jax.random.PRNGKey(0)}, x, train=True)
         return model, variables, x
 
+    @pytest.mark.slow  # train-mode (batch_stats-mutating) compile
     def test_training_mo(self, setup):
         model, variables, x = setup
         (pred, prob, action, nc), _ = model.apply(variables, x, train=True, mo_flag=True, mutable=['batch_stats'])
@@ -186,6 +189,7 @@ class TestMIMOcom:
 
 
 class TestMIMOcomWho:
+    @pytest.mark.slow  # train-mode compile
     def test_training_and_activated(self):
         model = get_model(_cfg("MIMOcomWho", agent_num=3, query_size=32,
                                multiple_output=True, query=False), NC)
@@ -201,6 +205,7 @@ class TestMIMOcomWho:
 
 
 class TestGradients:
+    @pytest.mark.slow  # full train-step grad compile ~4 min on 1 CPU core
     def test_mimocom_train_step_grads_flow(self):
         model = get_model(_cfg("MIMOcom", agent_num=3, query_size=8,
                                key_size=64, multiple_output=True), NC)

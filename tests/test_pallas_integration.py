@@ -12,6 +12,8 @@ from multiagentperception_tpu.utils import init_variables
 
 H = 128
 
+pytestmark = pytest.mark.slow  # compiles two full MIMOcom programs per mode on CPU
+
 
 def _cfg(pallas):
     return normalize_config({

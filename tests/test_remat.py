@@ -4,6 +4,7 @@ gradients (within recompute-reassociation tolerance) (jax.checkpoint trades FLOP
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multiagentperception_tpu.config import normalize_config
 from multiagentperception_tpu.models import get_model
@@ -22,6 +23,7 @@ def _model(remat):
 
 
 class TestRemat:
+    @pytest.mark.slow  # grad compile of 2 full models on 1 CPU core
     def test_outputs_and_grads_match(self, rng):
         x = jnp.asarray(rng.normal(size=(1, 3, H, H, 3)), jnp.float32)
         y = jnp.zeros((3, H, H), jnp.int32)

@@ -4,6 +4,7 @@ through the full SRMS when2com model."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multiagentperception_tpu.config import normalize_config
 from multiagentperception_tpu.models import get_model
@@ -35,6 +36,7 @@ class TestSparseAttention:
         np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
         assert (p >= 0).all()
 
+    @pytest.mark.slow  # grad compile of the full when2com model on 1 CPU core
     def test_gradients_flow_through_sparsemax(self):
         rng = np.random.default_rng(42)
         model = get_model(_cfg(True), 11)
