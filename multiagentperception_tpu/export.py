@@ -38,9 +38,23 @@ def export_serving(
     inference: str = "activated",
     mo_flag: bool = True,
     bake_weights: bool = True,
+    int8: bool = False,
+    act_scales: dict | None = None,
 ) -> bytes:
-    """Serialize the eval step; returns the artifact bytes."""
-    eval_fn = make_eval_fn(model, mo_flag, inference)
+    """Serialize the eval step; returns the artifact bytes.
+
+    ``int8=True`` exports the post-training-quantized serving graph
+    (quantize.py): conv towers run int8 on the MXU; with ``bake_weights``
+    the int8 kernels are constant-folded into the artifact. ``act_scales``
+    (from quantize.calibrate_activations) bakes static activation scales —
+    the fast path; without it activations are scaled dynamically.
+    """
+    if int8:
+        from multiagentperception_tpu.quantize import make_int8_eval_fn
+        eval_fn = make_int8_eval_fn(model, mo_flag, inference,
+                                    act_scales=act_scales)
+    else:
+        eval_fn = make_eval_fn(model, mo_flag, inference)
     x_spec = jax.ShapeDtypeStruct(input_shape, input_dtype)
     if bake_weights:
         fn = jax.jit(functools.partial(eval_fn, variables))

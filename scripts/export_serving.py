@@ -9,6 +9,11 @@ rehydrates without Python model code — see multiagentperception_tpu/export.py.
 ``--torch_out <path.pkl>`` additionally writes the checkpoint back in the
 reference's PyTorch format (compat/torch_export.py) so it loads in the
 original GT-RIPL/MultiAgentPerception code.
+
+``--int8`` exports the post-training-quantized graph (quantize.py): conv
+towers run int8 on the MXU. ``--calib_data <dataset_root>`` calibrates
+static activation scales from real frames (recommended; falls back to
+dynamic per-tensor scaling without it).
 """
 
 from __future__ import annotations
@@ -27,6 +32,12 @@ def main():
                    help="also write a reference-format torch .pkl")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--inference", default="activated")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantized export")
+    p.add_argument("--calib_data", default=None,
+                   help="dataset root for static activation calibration "
+                        "(with --int8); defaults to cfg data.path")
+    p.add_argument("--calib_batches", type=int, default=4)
     args = p.parse_args()
     if not (args.out or args.torch_out):
         p.error("need --out and/or --torch_out")
@@ -59,9 +70,27 @@ def main():
             "params": restored["model_state"]["params"],
             "batch_stats": restored["model_state"]["batch_stats"],
         }
+    act_scales = None
+    if args.int8:
+        from multiagentperception_tpu.quantize import calibrate_activations
+
+        root = args.calib_data or cfg["data"].get("path")
+        batches = _calibration_batches(cfg, root, args.batch,
+                                       args.calib_batches)
+        if batches:
+            act_scales = calibrate_activations(
+                model, variables, batches,
+                train=False, mo_flag=mo, inference=args.inference)
+            print(f"calibrated {len(act_scales)} convs "
+                  f"from {len(batches)} batches")
+        else:
+            print("no calibration data found; int8 export uses dynamic "
+                  "activation scales (slower on TPU)")
+
     if args.out:
         artifact = export_serving(
-            model, variables, shape, inference=args.inference, mo_flag=mo
+            model, variables, shape, inference=args.inference, mo_flag=mo,
+            int8=args.int8, act_scales=act_scales,
         )
         with open(args.out, "wb") as f:
             f.write(artifact)
@@ -73,6 +102,37 @@ def main():
         save_reference_checkpoint(cfg, jax.device_get(variables),
                                   args.torch_out)
         print(f"wrote {args.torch_out} (reference torch format)")
+
+
+def _calibration_batches(cfg, root, batch, n_batches):
+    """A few real image batches from the train split for scale calibration;
+    [] if the dataset is unavailable."""
+    import numpy as np
+
+    try:
+        from multiagentperception_tpu.data import AirsimDataset
+
+        ds = AirsimDataset(
+            root=root, split=cfg["data"].get("train_split", "train"),
+            img_size=(cfg["data"]["img_rows"], cfg["data"]["img_cols"]),
+            target_view=cfg["data"].get("target_view", "target"),
+        )
+    except Exception as e:
+        print(f"calibration loader unavailable ({e!r})")
+        return []
+    batches = []
+    idx = 0
+    for _ in range(n_batches):
+        ims = []
+        for _ in range(batch):
+            if idx >= len(ds):
+                idx = 0
+            ims.append(np.asarray(ds[idx][0]))
+            idx += 1
+        batches.append(np.stack(ims))
+        if len(ds) <= batch:
+            break  # tiny fixture: one pass is all the data there is
+    return batches
 
 
 if __name__ == "__main__":

@@ -89,7 +89,48 @@ def main(iters=400, batch=4, img=128, lr=1e-4, platform=None, root=None,
           f"(always-self baseline {chance:.1f}%)")
     print(f"who2com (noisy-agent link) accuracy: {who_acc:.2f}%")
     print(f"avg bandwidth (links/agent): {bandwidth:.3f}")
-    return miou, when_acc, who_acc
+
+    miou_int8 = int8_miou(trainer, model, evalloader)
+    print(f"train-set mIoU, int8-quantized serving path: {miou_int8:.4f} "
+          f"(delta {miou_int8 - miou:+.4f})")
+    return miou, when_acc, who_acc, miou_int8
+
+
+def int8_miou(trainer, model, evalloader):
+    """mIoU of the post-training-quantized serving path (quantize.py) on the
+    trained weights — the accuracy half of the int8 speedup claim."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiagentperception_tpu.metrics import runningScore
+    from multiagentperception_tpu.ops.comm import confusion_matrix
+    from multiagentperception_tpu.quantize import (
+        calibrate_activations,
+        quantized_apply,
+    )
+
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    batches = [(trainer._model_inputs(b[0]), trainer._labels(b[1]))
+               for b in evalloader]
+    scales = calibrate_activations(
+        model, variables, [jnp.asarray(batches[0][0])],
+        train=False, mo_flag=True, inference="activated")
+
+    @jax.jit
+    def step(variables, x, labels):
+        pred, _, _, _ = quantized_apply(
+            model, variables, x, act_scales=scales,
+            train=False, mo_flag=True, inference="activated")
+        return confusion_matrix(labels, jnp.argmax(pred, axis=-1),
+                                trainer.n_classes)
+
+    metrics = runningScore(trainer.n_classes)
+    for x, y in batches:
+        hist = step(variables, jnp.asarray(x), jnp.asarray(y.astype("int32")))
+        metrics.update_hist(hist)
+    score, _ = metrics.get_scores()
+    return score["Mean IoU : \t"]
 
 
 if __name__ == "__main__":

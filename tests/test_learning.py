@@ -131,7 +131,9 @@ def test_full_learning_proof():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
     from prove_learning import main
 
-    miou, when_acc, who_acc = main(iters=1500, frames=32)
+    miou, when_acc, who_acc, miou_int8 = main(iters=1500, frames=32)
     assert miou > 0.9
     assert when_acc > 90.0
     assert who_acc > 90.0
+    # int8 serving path holds the learned accuracy (parity within noise)
+    assert miou_int8 > miou - 0.02
