@@ -25,6 +25,7 @@ who2com 'argmax_test', when2com/MIMO 'activated' (trainer.py:251, 526, 774).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from typing import Any, Callable
@@ -234,8 +235,9 @@ class Trainer:
         self._jitted["train"] = jax.jit(step, donate_argnums=0)
         return self._jitted["train"]
 
-    def _eval_step_fn(self, inference: str | None, with_loss: bool) -> Callable:
-        key = ("eval", inference, with_loss)
+    def _eval_step_fn(self, inference: str | None, with_loss: bool,
+                      int8_scales: dict | None = None) -> Callable:
+        key = ("eval", inference, with_loss, int8_scales is not None)
         if key in self._jitted:
             return self._jitted[key]
         model = self.model
@@ -249,6 +251,18 @@ class Trainer:
 
         normalize = self.normalize_on_device
 
+        def _quant_ctx():
+            """int8 serving path (quantize.py): active only when calibrated
+            scales were provided; the interceptor wraps the traced apply."""
+            if int8_scales is None:
+                return contextlib.nullcontext()
+            from flax import linen as nn
+
+            from multiagentperception_tpu.quantize import int8_interceptor
+
+            return nn.intercept_methods(
+                int8_interceptor(act_scales=int8_scales))
+
         def step(state: TrainState, images, labels, rng, commun_label=None):
             if normalize:
                 images = normalize_images(images)
@@ -260,15 +274,17 @@ class Trainer:
             rngs = {"action": rng} if needs_rng else None
             pre = None
             if with_loss:
-                out = model.apply(variables, images, rngs=rngs, **kw)
+                with _quant_ctx():
+                    out = model.apply(variables, images, rngs=rngs, **kw)
             else:
                 # capture the decoder's pre-upsample logits: the fused
                 # Pallas upsample+argmax epilogue then computes the class
                 # map in VMEM and XLA dead-code-eliminates the full-res
                 # logits tensor (ops/pallas/upsample_argmax.py)
-                out, mut = model.apply(
-                    variables, images, rngs=rngs,
-                    mutable=["intermediates"], **kw)
+                with _quant_ctx():
+                    out, mut = model.apply(
+                        variables, images, rngs=rngs,
+                        mutable=["intermediates"], **kw)
                 pre = find_pre_logits(mut.get("intermediates"))
             pred_logits = out[0] if isinstance(out, tuple) else out
             if pre is not None and pre.shape[-1] == n_classes:
@@ -302,6 +318,29 @@ class Trainer:
 
         self._jitted[key] = jax.jit(step)
         return self._jitted[key]
+
+    def _calibrate_int8(self, loader, inference: str | None) -> dict:
+        """Static activation scales for the int8 eval path, calibrated from
+        dataset frames (quantize.calibrate_activations)."""
+        from multiagentperception_tpu.quantize import calibrate_activations
+
+        ds = getattr(loader, "dataset", None)
+        bs = getattr(loader, "batch_size", None) or 1
+        if ds is not None:
+            n = min(len(ds), int(bs))
+            images = np.stack([np.asarray(ds[i][0]) for i in range(n)])
+        else:
+            images = self._example_images(loader)
+        x = jnp.asarray(self._model_inputs(images))
+        if self.normalize_on_device:
+            x = normalize_images(x)
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        kw = self._apply_kwargs(False, inference)
+        rngs = ({"action": jax.random.PRNGKey(0)}
+                if self._needs_action_rng else None)
+        return calibrate_activations(self.model, variables, [x],
+                                     rngs=rngs, **kw)
 
     # ------------------------------------------------------------------
     # selection-accuracy plumbing
@@ -571,14 +610,23 @@ class Trainer:
             batch_stats=variables["batch_stats"],
         )
 
-    def evaluate(self, testloader, inference_mode: str | None = None):
+    def evaluate(self, testloader, inference_mode: str | None = None,
+                 int8: bool = False):
         """Test-split evaluation with Normal/Noise/Overall breakdown and
-        bandwidth reporting (reference: trainer.py:774-840)."""
+        bandwidth reporting (reference: trainer.py:774-840).
+
+        ``int8=True`` runs the post-training-quantized serving path
+        (quantize.py): activation scales are calibrated from sample frames,
+        conv towers run int8 on the MXU (1.27x measured at mIoU parity,
+        BASELINE.md)."""
         if inference_mode is None:
             inference_mode = _EVAL_DEFAULT.get(self.arch)
         if self.state is None:
             self.state = self._init_state(self._example_images(testloader))
-        eval_step = self._eval_step_fn(inference_mode, with_loss=False)
+        scales = self._calibrate_int8(testloader, inference_mode) if int8 \
+            else None
+        eval_step = self._eval_step_fn(inference_mode, with_loss=False,
+                                       int8_scales=scales)
         running_metrics = runningScore(self.n_classes)
 
         for res, commun_label in self._pipelined_eval(testloader, eval_step):

@@ -133,6 +133,11 @@ class TestMIMOcomE2E:
         # selection accuracy was accumulated during validation
         score, _ = trainer.evaluate(vl, inference_mode="activated")
         assert 0.0 <= score["Mean IoU : \t"] <= 1.0
+        # int8 serving path (quantize.py): calibrates from the loader and
+        # evaluates end-to-end through the same metric stack
+        score8, _ = trainer.evaluate(vl, inference_mode="activated", int8=True)
+        assert 0.0 <= score8["Mean IoU : \t"] <= 1.0
+        assert abs(score8["Overall Acc: \t"] - score["Overall Acc: \t"]) < 0.2
 
     def test_data_parallel_mesh(self, fixture_root, tmp_path, monkeypatch):
         import jax
