@@ -60,6 +60,9 @@ _TRAINING_DEFAULTS: dict[str, Any] = {
     "lr_schedule": None,
     "resume": None,
     "seed": 1337,
+    # framework extension: write/overwrite a 'latest' checkpoint (+ data
+    # stream position) every K iters for preemption-safe resume; None = off
+    "save_interval": None,
 }
 
 

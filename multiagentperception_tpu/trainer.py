@@ -422,10 +422,11 @@ class Trainer:
         if self.state is None:
             self.state = self._init_state(self._example_images(self.trainloader))
 
+        best_iou = -100.0
         resume = cfg_t.get("resume")
         if resume is not None:
             if os.path.isdir(str(resume)):
-                self._restore_full(resume)
+                best_iou = self._restore_full(resume)
                 start_iter = int(self.state.step)
                 self.logger.info("Loaded checkpoint '%s' (iter %d)", resume, start_iter)
             else:
@@ -434,7 +435,11 @@ class Trainer:
         train_step = self._train_step_fn()
         val_loss_meter = averageMeter()
         time_meter = averageMeter()
-        best_iou = -100.0
+        # preemption-safe periodic checkpointing (framework extension; the
+        # reference only saves on new-best val mIoU, trainer.py:751-764):
+        # training.save_interval writes/overwrites a 'latest' checkpoint
+        # (+data-stream position) every K iters; training.resume accepts it
+        save_interval = cfg_t.get("save_interval")
         i = start_iter
 
         for data_list in self._train_batches():
@@ -479,6 +484,9 @@ class Trainer:
                 if miou >= best_iou:
                     best_iou = miou
                     save_path = self._save_best(i, best_iou)
+
+            if save_interval and i % int(save_interval) == 0:
+                self._save_ckpt("latest", i, best_iou)
 
             if i >= cfg_t["train_iters"]:
                 break
@@ -538,7 +546,7 @@ class Trainer:
             "best_iou": np.asarray(best_iou),
         }
 
-    def _save_best(self, i: int, best_iou: float) -> str:
+    def _save_ckpt(self, name: str, i: int, best_iou: float) -> str:
         logdir = (
             self.writer.file_writer.get_logdir()
             if self.writer is not None
@@ -546,7 +554,7 @@ class Trainer:
         )
         save_path = os.path.join(
             logdir,
-            f"{self.cfg['model']['arch']}_{self.cfg['data']['dataset']}_best_model.ckpt",
+            f"{self.cfg['model']['arch']}_{self.cfg['data']['dataset']}_{name}.ckpt",
         )
         save_checkpoint(save_path, self._ckpt_dict(i, best_iou))
         # checkpointable data stream (grain backend): the iterator position is
@@ -558,7 +566,13 @@ class Trainer:
                 f.write(self.trainloader.get_state())
         return save_path
 
-    def _restore_full(self, path: str):
+    def _save_best(self, i: int, best_iou: float) -> str:
+        return self._save_ckpt("best_model", i, best_iou)
+
+    def _restore_full(self, path: str) -> float:
+        """Restore the full training state; returns the checkpoint's
+        best-so-far val mIoU so resumed runs don't overwrite the best
+        checkpoint with a worse one."""
         restored = load_checkpoint(path, target=self._ckpt_dict(0, 0.0))
         self.state = self.state.replace(
             step=jnp.asarray(int(restored["epoch"]), jnp.int32),
@@ -571,6 +585,7 @@ class Trainer:
             with open(datastate, "rb") as f:
                 self.trainloader.set_state(f.read())
             self.logger.info("Restored data-stream position from '%s'", datastate)
+        return float(restored["best_iou"])
 
     def load_weight(self, model_path: str):
         """Load params/batch_stats only (reference: trainer.py:246-248).

@@ -97,6 +97,28 @@ class TestSingleAgentE2E:
         )
         assert same
 
+    def test_save_interval_latest_ckpt_and_resume(self, fixture_root, tmp_path,
+                                                  monkeypatch):
+        """training.save_interval writes a preemption-safe 'latest'
+        checkpoint every K iters; resuming from it continues the iteration
+        count and carries the best-so-far val mIoU forward."""
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg("Single_agent", fixture_root, tmp_path, multiple_output=True)
+        cfg["training"]["save_interval"] = 1
+        trainer, _ = _build(cfg)
+        trainer.train()
+        latest = os.path.join(
+            "runs", "default", "Single_agent_airsim_latest.ckpt")
+        assert os.path.isdir(latest)
+
+        cfg2 = _cfg("Single_agent", fixture_root, tmp_path,
+                    multiple_output=True)
+        cfg2["training"]["resume"] = latest
+        cfg2["training"]["train_iters"] = 4
+        trainer2, _ = _build(cfg2)
+        trainer2.train()
+        assert int(trainer2.state.step) == 4  # continued from iter 2
+
     def test_loss_decreases_on_overfit(self, fixture_root, tmp_path, monkeypatch):
         # 10 iters on 4 samples with a real lr should reduce the train loss
         monkeypatch.chdir(tmp_path)
