@@ -63,6 +63,9 @@ _TRAINING_DEFAULTS: dict[str, Any] = {
     # framework extension: write/overwrite a 'latest' checkpoint (+ data
     # stream position) every K iters for preemption-safe resume; None = off
     "save_interval": None,
+    # framework extension (fine-tuning): freeze BN running stats during
+    # training (torch model.eval()-during-fine-tune idiom; ~12% faster step)
+    "freeze_bn_stats": False,
 }
 
 

@@ -198,8 +198,17 @@ class Trainer:
         model = self.model
         tx = self.tx
         loss_fn = self.loss_fn
-        kw = self._apply_kwargs(True)
         needs_rng = self._needs_action_rng
+
+        # training.freeze_bn_stats (fine-tuning extension): run BN on the
+        # checkpoint's running averages and skip the per-batch stat updates —
+        # torch's model.eval()-during-fine-tune idiom, and measured 12%
+        # faster per step (BASELINE.md train ablation: the stat math costs
+        # ~23 ms of the 198 ms step at batch 20)
+        freeze_bn = bool(self.cfg["training"].get("freeze_bn_stats"))
+        kw = self._apply_kwargs(True)
+        if freeze_bn:
+            kw = dict(self._apply_kwargs(False, "softmax"), train=False)
 
         normalize = self.normalize_on_device
 
@@ -211,12 +220,18 @@ class Trainer:
             def compute_loss(params):
                 variables = {"params": params, "batch_stats": state.batch_stats}
                 rngs = {"action": action_rng} if needs_rng else None
-                out, updates = model.apply(
-                    variables, images, mutable=["batch_stats"], rngs=rngs, **kw
-                )
+                if freeze_bn:
+                    out = model.apply(variables, images, rngs=rngs, **kw)
+                    new_stats = state.batch_stats
+                else:
+                    out, updates = model.apply(
+                        variables, images, mutable=["batch_stats"],
+                        rngs=rngs, **kw
+                    )
+                    new_stats = updates["batch_stats"]
                 pred = out[0] if isinstance(out, tuple) else out
                 loss = loss_fn(input=pred, target=labels)
-                return loss, updates["batch_stats"]
+                return loss, new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(
                 compute_loss, has_aux=True

@@ -119,6 +119,30 @@ class TestSingleAgentE2E:
         trainer2.train()
         assert int(trainer2.state.step) == 4  # continued from iter 2
 
+    def test_freeze_bn_stats_finetune_mode(self, fixture_root, tmp_path,
+                                           monkeypatch):
+        """training.freeze_bn_stats: params update, BN running stats don't
+        (the fine-tuning idiom; ~12%-faster step, BASELINE.md)."""
+        import jax
+
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg("Single_agent", fixture_root, tmp_path, multiple_output=True)
+        cfg["training"]["freeze_bn_stats"] = True
+        trainer, _ = _build(cfg)
+        trainer.state = trainer._init_state(
+            trainer._example_images(trainer.trainloader))
+        stats_before = jax.device_get(trainer.state.batch_stats)
+        params_before = jax.device_get(trainer.state.params)
+        trainer.train()
+        stats_after = jax.device_get(trainer.state.batch_stats)
+        same_stats = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: bool(np.array_equal(a, b)), stats_before, stats_after))
+        assert same_stats
+        changed = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: not np.array_equal(a, b),
+            params_before, jax.device_get(trainer.state.params)))
+        assert changed
+
     def test_loss_decreases_on_overfit(self, fixture_root, tmp_path, monkeypatch):
         # 10 iters on 4 samples with a real lr should reduce the train loss
         monkeypatch.chdir(tmp_path)
