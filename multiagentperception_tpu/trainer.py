@@ -252,7 +252,12 @@ class Trainer:
 
     def _eval_step_fn(self, inference: str | None, with_loss: bool,
                       int8_scales: dict | None = None) -> Callable:
-        key = ("eval", inference, with_loss, int8_scales is not None)
+        # scales are baked into the traced program as constants, so the jit
+        # cache must key on their VALUES — a fresh calibration (different
+        # eval data) must not silently reuse a stale compiled step
+        scales_key = (None if int8_scales is None
+                      else hash(tuple(sorted(int8_scales.items()))))
+        key = ("eval", inference, with_loss, scales_key)
         if key in self._jitted:
             return self._jitted[key]
         model = self.model

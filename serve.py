@@ -61,6 +61,8 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     n_frames = len(ds) if args.limit is None else min(len(ds), args.limit)
+    if n_frames == 0:
+        raise SystemExit(f"split '{args.split}' has no frames")
 
     # probe the batch size the artifact was exported with
     sample = np.asarray(ds[0][0])[None]  # (1, N, H, W, 3)
