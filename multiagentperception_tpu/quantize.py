@@ -165,7 +165,14 @@ def calibrate_activations(model, variables, batches,
 
     The recording forward is jitted (one compiled program returning all the
     per-conv maxes): an eager apply would dispatch op-by-op, which is
-    minutes per batch on a remote-dispatch link."""
+    minutes per batch on a remote-dispatch link.
+
+    ``model`` must not contain ``nn.remat`` wrappers: the recorded max is an
+    intermediate of the rematerialized region and cannot escape its trace
+    (jax.checkpoint replays the region, so "the" intermediate has no single
+    identity). Calibrate with a remat-free twin of the model — remat does
+    not change the parameter tree, so the scales transfer verbatim (the
+    Trainer/CLI entry points do this automatically)."""
     import jax
 
     def calib_fn(variables, batch):
@@ -187,7 +194,17 @@ def calibrate_activations(model, variables, batches,
     calib = jax.jit(calib_fn)
     result: dict = {}
     for batch in batches:
-        for p, m in calib(variables, batch).items():
+        try:
+            maxes = calib(variables, batch)
+        except jax.errors.UnexpectedTracerError as e:
+            raise ValueError(
+                "calibrate_activations cannot record inside nn.remat "
+                "regions (rematerialization replays them). Calibrate with a "
+                "remat-free build of the model — same config with "
+                "model.remat off; the parameter tree and therefore the "
+                "scales are identical."
+            ) from e
+        for p, m in maxes.items():
             m = float(m)
             result[p] = max(result.get(p, 0.0), m)
     return {p: max(m / 127.0, 1e-8) for p, m in result.items()}

@@ -206,9 +206,8 @@ class Trainer:
         # faster per step (BASELINE.md train ablation: the stat math costs
         # ~23 ms of the 198 ms step at batch 20)
         freeze_bn = bool(self.cfg["training"].get("freeze_bn_stats"))
-        kw = self._apply_kwargs(True)
-        if freeze_bn:
-            kw = dict(self._apply_kwargs(False, "softmax"), train=False)
+        kw = (self._apply_kwargs(False, "softmax") if freeze_bn
+              else self._apply_kwargs(True))
 
         normalize = self.normalize_on_device
 
@@ -344,6 +343,16 @@ class Trainer:
         dataset frames (quantize.calibrate_activations)."""
         from multiagentperception_tpu.quantize import calibrate_activations
 
+        model = self.model
+        if self.cfg["model"].get("remat"):
+            # the calibration recorder cannot capture inside nn.remat
+            # regions (see calibrate_activations); remat doesn't change the
+            # param tree, so calibrate on a remat-free twin
+            from multiagentperception_tpu.models import get_model
+
+            cfg = {**self.cfg, "model": {**self.cfg["model"], "remat": False}}
+            model = get_model(cfg, self.n_classes)
+
         ds = getattr(loader, "dataset", None)
         bs = getattr(loader, "batch_size", None) or 1
         if ds is not None:
@@ -359,7 +368,7 @@ class Trainer:
         kw = self._apply_kwargs(False, inference)
         rngs = ({"action": jax.random.PRNGKey(0)}
                 if self._needs_action_rng else None)
-        return calibrate_activations(self.model, variables, [x],
+        return calibrate_activations(model, variables, [x],
                                      rngs=rngs, **kw)
 
     # ------------------------------------------------------------------

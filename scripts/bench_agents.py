@@ -76,7 +76,7 @@ def main():
     print(f"# MIMOcom eval, {args.img}^2, B*N={args.frames}, bf16, activated")
     print(f"{'N':>4} {'batch':>6} {'step ms':>9} {'frames/s':>9} "
           f"{'ms/frame':>9}")
-    base = None
+    base = base_n = None
     for n in args.agents:
         b = max(args.frames // n, 1)
         try:
@@ -88,9 +88,9 @@ def main():
         per = dt * 1000 / (b * n)
         note = ""
         if base is None:
-            base = per
+            base, base_n = per, n
         else:
-            note = f"  ({per / base:.2f}x per-frame cost vs N={args.agents[0]})"
+            note = f"  ({per / base:.2f}x per-frame cost vs N={base_n})"
         print(f"{n:>4} {b:>6} {dt * 1000:>9.2f} {fps:>9.1f} {per:>9.3f}{note}",
               flush=True)
 

@@ -74,12 +74,19 @@ def main():
     if args.int8:
         from multiagentperception_tpu.quantize import calibrate_activations
 
+        calib_model = model
+        if cfg["model"].get("remat"):
+            # the calibration recorder cannot capture inside nn.remat
+            # regions; remat doesn't change the param tree, so calibrate on
+            # a remat-free twin (see quantize.calibrate_activations)
+            calib_model = get_model(
+                {**cfg, "model": {**cfg["model"], "remat": False}}, 11)
         root = args.calib_data or cfg["data"].get("path")
         batches = _calibration_batches(cfg, root, args.batch,
                                        args.calib_batches)
         if batches:
             act_scales = calibrate_activations(
-                model, variables, batches,
+                calib_model, variables, batches,
                 train=False, mo_flag=mo, inference=args.inference)
             print(f"calibrated {len(act_scales)} convs "
                   f"from {len(batches)} batches")

@@ -72,6 +72,7 @@ def main():
 
     t0 = time.time()
     total_cams = 0
+    bw_sum = 0.0
     i = 0
     while i < n_frames:
         idxs = list(range(i, min(i + batch, n_frames)))
@@ -80,6 +81,9 @@ def main():
             ims.append(ims[-1])
         cls_map, prob, num_connect = served(np.stack(ims))
         cls_map = np.asarray(cls_map)
+        # num_connect is the batch-mean link count; weight by the REAL
+        # frames in this batch (padding duplicates would bias the tail)
+        bw_sum += float(np.asarray(num_connect)) * len(idxs)
         # MO output is batch-major (b*N + cam); single-output is (B, H, W)
         n_cams = cls_map.shape[0] // batch if cls_map.ndim == 3 and \
             cls_map.shape[0] != batch else 1
@@ -90,9 +94,11 @@ def main():
                 total_cams += 1
         i += batch
     dt = time.time() - t0
-    print(f"wrote {total_cams} prediction maps to {args.out}/ "
-          f"({total_cams / dt:.1f} frames/sec wall incl. decode+encode); "
-          f"avg bandwidth {float(np.asarray(num_connect)):.2f} links/agent")
+    print(f"wrote {total_cams} prediction maps ({n_frames} frames x "
+          f"{total_cams // n_frames} cams) to {args.out}/ — "
+          f"{n_frames / dt:.1f} frames/sec, {total_cams / dt:.1f} maps/sec "
+          f"wall incl. decode+encode; "
+          f"avg bandwidth {bw_sum / n_frames:.2f} links/agent")
 
 
 def _probe_batch(served, sample):

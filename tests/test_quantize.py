@@ -120,6 +120,23 @@ class TestInterceptor:
         rel = np.abs(y_q - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
         assert rel < 0.5, rel
 
+    def test_calibration_under_remat_raises_actionable_error(self):
+        """nn.remat replays its region, so the recorded max has no single
+        identity; calibration must fail with advice, not a cryptic tracer
+        leak (the Trainer/CLI entry points calibrate on a remat-free twin)."""
+        from multiagentperception_tpu.quantize import calibrate_activations
+
+        class RematStack(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.remat(_Stack)()(x)
+
+        m = RematStack()
+        x = jnp.ones((1, 16, 16, 3), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        with pytest.raises(ValueError, match="remat-free"):
+            calibrate_activations(m, v, [x])
+
     def test_scales_json_roundtrip(self):
         from multiagentperception_tpu.quantize import (
             scales_from_json, scales_to_json)
@@ -127,15 +144,19 @@ class TestInterceptor:
         scales = {("enc", "c1"): 0.5, ("dec", "head", "c"): 0.01}
         assert scales_from_json(scales_to_json(scales)) == scales
 
-    def test_train_apply_unaffected_without_context(self):
+    def test_plain_apply_unaffected_after_quantized_apply(self):
         """Plain model.apply outside the interceptor stays full precision —
-        quantization is a serving-boundary opt-in, never a training change."""
+        quantization is a serving-boundary opt-in that leaks no global
+        state into subsequent plain applies."""
         m = _Stack()
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)), jnp.float32)
         v = m.init(jax.random.PRNGKey(0), x)
-        np.testing.assert_array_equal(
-            np.asarray(m.apply(v, x)), np.asarray(m.apply(v, x)))
+        y_before = np.asarray(m.apply(v, x))
+        y_quant = np.asarray(quantized_apply(m, v, x))
+        y_after = np.asarray(m.apply(v, x))
+        np.testing.assert_array_equal(y_before, y_after)
+        assert not np.array_equal(y_quant, y_before)
 
 
 @pytest.mark.slow  # full MIMOcom compile x2 on one CPU core
