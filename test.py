@@ -19,6 +19,9 @@ def main():
     parser.add_argument("--gpu", nargs="?", type=str, default="0")
     parser.add_argument("--inference_mode", nargs="?", type=str, default=None,
                         help="override the per-arch default inference mode")
+    parser.add_argument("--data_parallel", nargs="?", type=int, default=0,
+                        help="shard eval batches over this many devices "
+                             "(0 = largest count dividing the batch)")
     parser.add_argument("--int8", action="store_true",
                         help="post-training-quantized serving path "
                              "(calibrates activation scales from the test "
@@ -28,6 +31,13 @@ def main():
     from multiagentperception_tpu.config import load_config
 
     cfg = load_config(args.config)
+
+    import jax
+
+    # MAP_PLATFORM overrides the JAX platform in-process (this image's
+    # sitecustomize rewrites JAX_PLATFORMS; same hook as train.py)
+    if os.environ.get("MAP_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["MAP_PLATFORM"])
 
     import logging
 
@@ -59,9 +69,27 @@ def main():
     loss_fn = get_loss_function(cfg)
     logger = logging.getLogger("multiagentperception_tpu")
 
+    from multiagentperception_tpu.parallel import make_mesh
+
+    # sharded eval (same mesh policy as train.py's --data_parallel)
+    batch_size = cfg["training"]["batch_size"]
+    mesh = None
+    n_dp = args.data_parallel
+    if not n_dp:
+        n_dp = len(jax.devices())
+        while n_dp > 1 and batch_size % n_dp:
+            n_dp -= 1
+    elif batch_size % n_dp:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by --data_parallel {n_dp}"
+        )
+    if n_dp > 1:
+        mesh = make_mesh(n_data=n_dp, n_model=1,
+                         devices=jax.devices()[:n_dp])
+
     trainer_cls = get_trainer(cfg)
     trainer = trainer_cls(
-        cfg, None, logger, model, loss_fn, None, testloader, tx
+        cfg, None, logger, model, loss_fn, None, testloader, tx, mesh=mesh
     )
     trainer.load_weight(args.model_path)
     trainer.evaluate(testloader, inference_mode=args.inference_mode,

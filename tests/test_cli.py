@@ -77,6 +77,24 @@ class TestTrainCLI:
         assert "Bandwidth: 5.0" in r2.stdout  # N-1 for softmax mode
         assert "Overall" in r2.stdout
 
+        # sharded eval: same checkpoint over a 2-device virtual mesh
+        env_dp = _env()
+        env_dp["XLA_FLAGS"] = (env_dp.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2")
+        r3 = subprocess.run(
+            [sys.executable, os.path.join(REPO, "test.py"),
+             "--config", "smoke.yml", "--model_path", ckpts[0],
+             "--inference_mode", "softmax", "--data_parallel", "2"],
+            cwd=workdir, env=env_dp, capture_output=True, text=True,
+            timeout=900,
+        )
+        assert r3.returncode == 0, r3.stderr[-3000:]
+        assert "Bandwidth: 5.0" in r3.stdout
+        # same checkpoint, same data: the sharded run's score tables match
+        # the single-device run's (placement is not a program change)
+        tail = lambda out: out[out.index("Overall"):]
+        assert tail(r3.stdout) == tail(r2.stdout)
+
     def test_reference_config_schema_accepted(self, workdir):
         # load one of the repo's shipped (reference-schema) configs and point
         # it at the fixture: the CLI must accept the schema unchanged
