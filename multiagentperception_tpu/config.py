@@ -69,6 +69,31 @@ _TRAINING_DEFAULTS: dict[str, Any] = {
 }
 
 
+# Extension keys accepted beyond the defaults above (all opt-in, README
+# table). A key in neither set is probably a typo — the raw-dict schema
+# would otherwise silently no-op it (e.g. 'freez_bn_stats').
+_EXTENSION_KEYS: dict[str, set] = {
+    "model": {"dtype", "remat", "pallas_comm"},
+    "data": {"on_device_normalize", "cache_decoded", "use_native_decoder",
+             "augmentations", "shard_data_by_process"},
+    "training": {"mixed_precision", "nan_guard", "profile_dir",
+                 "profile_range", "data_backend"},
+}
+
+
+def _warn_unknown_keys(section: str, user: Mapping[str, Any] | None,
+                       defaults: Mapping[str, Any]) -> None:
+    import logging
+
+    known = set(defaults) | _EXTENSION_KEYS.get(section, set())
+    for k in (user or {}):
+        if k not in known:
+            logging.getLogger("multiagentperception_tpu").warning(
+                "config: unknown key %s.%s (typo? known extension keys: %s)",
+                section, k, ", ".join(sorted(_EXTENSION_KEYS[section])),
+            )
+
+
 def _norm_none(value: Any) -> Any:
     """The reference YAMLs use the string 'None' as a null sentinel."""
     if isinstance(value, str) and value == "None":
@@ -86,6 +111,9 @@ def _merged(defaults: Mapping[str, Any], user: Mapping[str, Any] | None) -> dict
 def normalize_config(cfg: Mapping[str, Any]) -> dict:
     """Fill schema defaults; keep the reference's raw-dict access pattern."""
     out: dict[str, Any] = {}
+    _warn_unknown_keys("model", cfg.get("model"), _MODEL_DEFAULTS)
+    _warn_unknown_keys("data", cfg.get("data"), _DATA_DEFAULTS)
+    _warn_unknown_keys("training", cfg.get("training"), _TRAINING_DEFAULTS)
     out["model"] = _merged(_MODEL_DEFAULTS, cfg.get("model"))
     out["data"] = _merged(_DATA_DEFAULTS, cfg.get("data"))
     out["training"] = _merged(_TRAINING_DEFAULTS, cfg.get("training"))
