@@ -298,12 +298,28 @@ def sweep_train(configs=((2, False), (4, False), (8, False), (16, False),
                   file=sys.stderr)
 
 
+def latency():
+    """Single-frame (batch 1) serving latency, bf16 and int8 — the
+    latency-critical operating point, vs the batch-20 throughput knee."""
+    for tag, kw in (("bf16", {}), ("int8", {"int8": True})):
+        try:
+            fps, dt, _ = bench_eval(batch=1, k_lo=4, k_hi=24, **kw)
+            print(f"latency batch=1 {tag}: {dt * 1000:6.2f} ms/frame-set "
+                  f"({dt * 1000 / 6:5.2f} ms/frame, {fps:6.1f} f/s)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"latency {tag}: failed ({e!r})", file=sys.stderr)
+
+
 def main():
     if "--sweep" in sys.argv:
         sweep()
         return
     if "--sweep-train" in sys.argv:
         sweep_train()
+        return
+    if "--latency" in sys.argv:
+        latency()
         return
 
     # batch 20 is the measured throughput knee on v5e (see BASELINE.md sweep:
