@@ -73,14 +73,19 @@ def main():
     t0 = time.time()
     total_cams = 0
     bw_sum = 0.0
-    i = 0
-    while i < n_frames:
+
+    def dispatch(i):
+        """Dispatch one batch; device work proceeds asynchronously."""
         idxs = list(range(i, min(i + batch, n_frames)))
         ims = [np.asarray(ds[j][0]) for j in idxs]
         while len(ims) < batch:  # pad the tail by repetition
             ims.append(ims[-1])
         cls_map, prob, num_connect = served(np.stack(ims))
-        cls_map = np.asarray(cls_map)
+        return idxs, cls_map, num_connect
+
+    def drain(idxs, cls_map, num_connect):
+        nonlocal total_cams, bw_sum
+        cls_map = np.asarray(cls_map)  # blocks: device->host readback
         # num_connect is the batch-mean link count; weight by the REAL
         # frames in this batch (padding duplicates would bias the tail)
         bw_sum += float(np.asarray(num_connect)) * len(idxs)
@@ -92,7 +97,19 @@ def main():
                 row = cls_map[bi * n_cams + cam] if n_cams > 1 else cls_map[bi]
                 _write_pred(args.out, j, cam, row, ds, args.colorize)
                 total_cams += 1
-        i += batch
+
+    # depth-2 pipeline (same as Trainer._pipelined_eval): batch k+1 is
+    # dispatched before batch k's readback + PNG encode, so decode/encode
+    # host work overlaps device execution
+    from collections import deque
+
+    pending: deque = deque()
+    for i in range(0, n_frames, batch):
+        pending.append(dispatch(i))
+        if len(pending) > 2:
+            drain(*pending.popleft())
+    while pending:
+        drain(*pending.popleft())
     dt = time.time() - t0
     print(f"wrote {total_cams} prediction maps ({n_frames} frames x "
           f"{total_cams // n_frames} cams) to {args.out}/ — "
