@@ -17,16 +17,45 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(path: str, state_dict: dict) -> str:
-    """Write a checkpoint directory at ``path`` (overwrites)."""
-    path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(path):
-        import shutil
+    """Write a checkpoint directory at ``path``, crash-safely overwriting.
 
-        shutil.rmtree(path)
-    ckptr.save(path, state_dict)
+    A naive rmtree-then-save leaves NO valid checkpoint if the process dies
+    mid-save — the exact window periodic 'latest' checkpoints exist to
+    survive (observed: a preemption during save left only an
+    ``.orbax-checkpoint-tmp``). Instead: write the new checkpoint beside the
+    old one, then swap via renames. At every instant at least one complete
+    checkpoint is on disk; ``resolve_checkpoint`` finds it.
+    """
+    import shutil
+
+    path = os.path.abspath(path)
+    new, old = path + ".new", path + ".old"
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(new):
+        shutil.rmtree(new)
+    ckptr.save(new, state_dict)
     ckptr.wait_until_finished()
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(new, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return path
+
+
+def resolve_checkpoint(path: str) -> str | None:
+    """The newest COMPLETE checkpoint for ``path``, accounting for the
+    save_checkpoint swap windows: a finalized ``.new`` (crash between save
+    and swap) is newest, then ``path`` itself, then ``.old`` (crash between
+    the two renames). Incomplete orbax writes use a ``*-tmp`` name and are
+    never matched. None if no complete checkpoint exists."""
+    path = os.path.abspath(path)
+    for candidate in (path + ".new", path, path + ".old"):
+        if os.path.isdir(candidate):
+            return candidate
+    return None
 
 
 def load_checkpoint(path: str, target: dict | None = None) -> dict:

@@ -36,7 +36,11 @@ import numpy as np
 import optax
 from flax import struct
 
-from multiagentperception_tpu.checkpoint import load_checkpoint, save_checkpoint
+from multiagentperception_tpu.checkpoint import (
+    load_checkpoint,
+    resolve_checkpoint,
+    save_checkpoint,
+)
 from multiagentperception_tpu.metrics import averageMeter, runningScore
 from multiagentperception_tpu.ops.comm import confusion_matrix
 from multiagentperception_tpu.ops.normalize import normalize_images
@@ -454,10 +458,15 @@ class Trainer:
         best_iou = -100.0
         resume = cfg_t.get("resume")
         if resume is not None:
-            if os.path.isdir(str(resume)):
-                best_iou = self._restore_full(resume)
+            # resolve through the crash-safe swap states: a run preempted
+            # MID-SAVE leaves the newest complete checkpoint at '.new' or
+            # '.old' (checkpoint.resolve_checkpoint)
+            resolved = resolve_checkpoint(str(resume))
+            if resolved is not None:
+                best_iou = self._restore_full(resolved)
                 start_iter = int(self.state.step)
-                self.logger.info("Loaded checkpoint '%s' (iter %d)", resume, start_iter)
+                self.logger.info("Loaded checkpoint '%s' (iter %d)",
+                                 resolved, start_iter)
             else:
                 self.logger.info("No checkpoint found at '%s'", resume)
 
@@ -591,8 +600,10 @@ class Trainer:
         # orbax tree; resume continues mid-epoch where the reference restarts
         # its DataLoader from scratch (reference trainer.py:59-75)
         if hasattr(self.trainloader, "get_state"):
-            with open(save_path + ".datastate", "wb") as f:
+            tmp = save_path + ".datastate.tmp"
+            with open(tmp, "wb") as f:
                 f.write(self.trainloader.get_state())
+            os.replace(tmp, save_path + ".datastate")
         return save_path
 
     def _save_best(self, i: int, best_iou: float) -> str:
@@ -609,7 +620,12 @@ class Trainer:
             batch_stats=restored["model_state"]["batch_stats"],
             opt_state=restored["optimizer_state"],
         )
-        datastate = str(path) + ".datastate"
+        # sidecar always lives at the unsuffixed name (swap states keep it)
+        base = str(path)
+        for suffix in (".new", ".old"):
+            if base.endswith(suffix):
+                base = base[: -len(suffix)]
+        datastate = base + ".datastate"
         if os.path.exists(datastate) and hasattr(self.trainloader, "set_state"):
             with open(datastate, "rb") as f:
                 self.trainloader.set_state(f.read())
@@ -639,6 +655,9 @@ class Trainer:
             variables = load_reference_checkpoint(
                 self.cfg, self.n_classes, model_path, template)
         else:
+            # a run preempted mid-save leaves the newest complete checkpoint
+            # at '.new'/'.old' (checkpoint.resolve_checkpoint)
+            model_path = resolve_checkpoint(model_path) or model_path
             try:
                 # typed restore keeps shardings/dtypes (an untyped restore
                 # replicates everything and drops the training sharding)
