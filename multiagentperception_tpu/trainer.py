@@ -193,6 +193,12 @@ class Trainer:
     def _put_batch(self, *arrays):
         if self.mesh is None:
             return tuple(jnp.asarray(a) for a in arrays)
+        # a partial tail batch (loader without drop_last) may not divide the
+        # data axis; place it unsharded rather than failing — the jit
+        # retraces for the new shape anyway, so per-batch placement is free
+        n_data = self.mesh.shape.get("data", 1)
+        if any(a.shape[0] % n_data for a in arrays):
+            return tuple(jnp.asarray(a) for a in arrays)
         bs = batch_sharding(self.mesh)
         return tuple(jax.device_put(jnp.asarray(a), bs) for a in arrays)
 

@@ -214,6 +214,13 @@ class TestMIMOcomE2E:
         assert np.isfinite(float(loss))
         assert int(state2.step) == 1
 
+        # sharded + quantized serving compose: the int8 interceptor's ops
+        # are ordinary lax convs, so the same batch sharding applies
+        trainer.state = state2
+        score8, _ = trainer.evaluate(vl, inference_mode="activated",
+                                     int8=True)
+        assert 0.0 <= score8["Mean IoU : \t"] <= 1.0
+
 
 class TestWho2ComE2E:
     def test_srms_who2com_with_selection_metrics(self, fixture_root, tmp_path, monkeypatch):
