@@ -16,7 +16,8 @@ import jax
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(path: str, state_dict: dict) -> str:
+def save_checkpoint(path: str, state_dict: dict,
+                    sidecar: bytes | None = None) -> str:
     """Write a checkpoint directory at ``path``, crash-safely overwriting.
 
     A naive rmtree-then-save leaves NO valid checkpoint if the process dies
@@ -25,24 +26,50 @@ def save_checkpoint(path: str, state_dict: dict) -> str:
     ``.orbax-checkpoint-tmp``). Instead: write the new checkpoint beside the
     old one, then swap via renames. At every instant at least one complete
     checkpoint is on disk; ``resolve_checkpoint`` finds it.
+
+    ``sidecar`` bytes (e.g. the grain data-stream position) ride INSIDE the
+    swap as ``<candidate>.datastate`` so the restored model state and its
+    data position always pair up — a sidecar written after the swap would
+    leave the previous save's position next to the new model on a crash.
     """
+    import glob
     import shutil
 
     path = os.path.abspath(path)
     new, old = path + ".new", path + ".old"
     ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(new):
-        shutil.rmtree(new)
+    # crashed earlier saves leave orbax '*-tmp*' dirs; bound the garbage
+    for tmp in glob.glob(path + "*orbax-checkpoint-tmp*"):
+        shutil.rmtree(tmp, ignore_errors=True)
+    _rm(new)
     ckptr.save(new, state_dict)
     ckptr.wait_until_finished()
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    if sidecar is not None:
+        with open(new + ".datastate", "wb") as f:
+            f.write(sidecar)
+    _rm(old)
     if os.path.exists(path):
         os.rename(path, old)
+        _move_if_exists(path + ".datastate", old + ".datastate")
     os.rename(new, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _move_if_exists(new + ".datastate", path + ".datastate")
+    _rm(old)
     return path
+
+
+def _rm(path: str) -> None:
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    for side in (path + ".datastate",):
+        if os.path.exists(side):
+            os.remove(side)
+
+
+def _move_if_exists(src: str, dst: str) -> None:
+    if os.path.exists(src):
+        os.replace(src, dst)
 
 
 def resolve_checkpoint(path: str) -> str | None:

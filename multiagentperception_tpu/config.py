@@ -74,10 +74,13 @@ _TRAINING_DEFAULTS: dict[str, Any] = {
 # would otherwise silently no-op it (e.g. 'freez_bn_stats').
 _EXTENSION_KEYS: dict[str, set] = {
     "model": {"dtype", "remat", "pallas_comm"},
-    "data": {"on_device_normalize", "cache_decoded", "use_native_decoder",
-             "augmentations", "shard_data_by_process"},
+    "data": {"on_device_normalize", "cache_decoded"},
+    # 'augmentations' is a REFERENCE schema key read from training
+    # (reference train.py:137; ours train.py:91), not an extension — but it
+    # has no default, so it must be whitelisted here
     "training": {"mixed_precision", "nan_guard", "profile_dir",
-                 "profile_range", "data_backend"},
+                 "profile_range", "data_backend", "augmentations",
+                 "shard_data_by_process"},
 }
 
 

@@ -1,4 +1,5 @@
 from multiagentperception_tpu.parallel.mesh import (
+    data_parallel_mesh,
     make_mesh,
     batch_sharding,
     param_shardings,
@@ -6,6 +7,7 @@ from multiagentperception_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "data_parallel_mesh",
     "make_mesh",
     "batch_sharding",
     "param_shardings",

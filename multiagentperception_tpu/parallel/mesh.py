@@ -75,3 +75,25 @@ def param_shardings(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def data_parallel_mesh(batch_size: int, n_dp: int = 0):
+    """The CLI device-selection policy, shared by train.py and test.py.
+
+    ``n_dp`` devices on the 'data' axis; 0 picks the largest available
+    device count that divides the batch. Returns None when one device is
+    selected (no mesh needed); raises on an explicit indivisible request.
+    """
+    import jax
+
+    if not n_dp:
+        n_dp = len(jax.devices())
+        while n_dp > 1 and batch_size % n_dp:
+            n_dp -= 1
+    elif batch_size % n_dp:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by --data_parallel {n_dp}"
+        )
+    if n_dp <= 1:
+        return None
+    return make_mesh(n_data=n_dp, n_model=1, devices=jax.devices()[:n_dp])

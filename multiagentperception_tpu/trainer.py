@@ -600,16 +600,15 @@ class Trainer:
             logdir,
             f"{self.cfg['model']['arch']}_{self.cfg['data']['dataset']}_{name}.ckpt",
         )
-        save_checkpoint(save_path, self._ckpt_dict(i, best_iou))
-        # checkpointable data stream (grain backend): the iterator position is
-        # variable-length bytes, so it rides as a sidecar file next to the
-        # orbax tree; resume continues mid-epoch where the reference restarts
-        # its DataLoader from scratch (reference trainer.py:59-75)
-        if hasattr(self.trainloader, "get_state"):
-            tmp = save_path + ".datastate.tmp"
-            with open(tmp, "wb") as f:
-                f.write(self.trainloader.get_state())
-            os.replace(tmp, save_path + ".datastate")
+        # checkpointable data stream (grain backend): the iterator position
+        # is variable-length bytes; it rides through save_checkpoint's
+        # crash-safe swap as a sidecar so the restored model state and data
+        # position always pair up. Resume continues mid-epoch where the
+        # reference restarts its DataLoader (reference trainer.py:59-75).
+        sidecar = (self.trainloader.get_state()
+                   if hasattr(self.trainloader, "get_state") else None)
+        save_checkpoint(save_path, self._ckpt_dict(i, best_iou),
+                        sidecar=sidecar)
         return save_path
 
     def _save_best(self, i: int, best_iou: float) -> str:
@@ -626,12 +625,15 @@ class Trainer:
             batch_stats=restored["model_state"]["batch_stats"],
             opt_state=restored["optimizer_state"],
         )
-        # sidecar always lives at the unsuffixed name (swap states keep it)
-        base = str(path)
-        for suffix in (".new", ".old"):
-            if base.endswith(suffix):
-                base = base[: -len(suffix)]
-        datastate = base + ".datastate"
+        # the sidecar travels with its swap candidate (save_checkpoint);
+        # fall back to the unsuffixed name for pre-swap-era checkpoints
+        datastate = str(path) + ".datastate"
+        if not os.path.exists(datastate):
+            base = str(path)
+            for suffix in (".new", ".old"):
+                if base.endswith(suffix):
+                    base = base[: -len(suffix)]
+            datastate = base + ".datastate"
         if os.path.exists(datastate) and hasattr(self.trainloader, "set_state"):
             with open(datastate, "rb") as f:
                 self.trainloader.set_state(f.read())

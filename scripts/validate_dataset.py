@@ -38,7 +38,9 @@ def main():
         read_selection_label,
     )
 
-    root = args.path
+    # normpath: a trailing slash would break the path_dir extraction below
+    # (root + "/scene/" must prefix-match the globbed paths exactly)
+    root = os.path.normpath(args.path)
     cam_pos = get_cam_pos(args.target_view)
     split_subdirs = generate_split_subdirs()
 

@@ -86,8 +86,10 @@ def main():
     def drain(idxs, cls_map, num_connect):
         nonlocal total_cams, bw_sum
         cls_map = np.asarray(cls_map)  # blocks: device->host readback
-        # num_connect is the batch-mean link count; weight by the REAL
-        # frames in this batch (padding duplicates would bias the tail)
+        # num_connect is the batch-mean link count. Weighting by the real
+        # frame count is exact for full batches; on a padded tail the mean
+        # still includes the duplicated frames, so the final average is
+        # approximate when per-frame link counts differ within that batch
         bw_sum += float(np.asarray(num_connect)) * len(idxs)
         # MO output is batch-major (b*N + cam); single-output is (B, H, W)
         n_cams = cls_map.shape[0] // batch if cls_map.ndim == 3 and \

@@ -69,23 +69,11 @@ def main():
     loss_fn = get_loss_function(cfg)
     logger = logging.getLogger("multiagentperception_tpu")
 
-    from multiagentperception_tpu.parallel import make_mesh
+    from multiagentperception_tpu.parallel import data_parallel_mesh
 
-    # sharded eval (same mesh policy as train.py's --data_parallel)
-    batch_size = cfg["training"]["batch_size"]
-    mesh = None
-    n_dp = args.data_parallel
-    if not n_dp:
-        n_dp = len(jax.devices())
-        while n_dp > 1 and batch_size % n_dp:
-            n_dp -= 1
-    elif batch_size % n_dp:
-        raise ValueError(
-            f"batch_size {batch_size} not divisible by --data_parallel {n_dp}"
-        )
-    if n_dp > 1:
-        mesh = make_mesh(n_data=n_dp, n_model=1,
-                         devices=jax.devices()[:n_dp])
+    # sharded eval (same device-selection policy as train.py)
+    mesh = data_parallel_mesh(cfg["training"]["batch_size"],
+                              args.data_parallel)
 
     trainer_cls = get_trainer(cfg)
     trainer = trainer_cls(

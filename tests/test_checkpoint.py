@@ -59,6 +59,28 @@ def test_resolve_missing_returns_none(tmp_path):
     assert resolve_checkpoint(str(tmp_path / "nope.ckpt")) is None
 
 
+def test_sidecar_travels_with_its_checkpoint(tmp_path):
+    """The data-stream sidecar rides inside the swap: every complete
+    checkpoint candidate is paired with ITS OWN sidecar bytes, so a crash
+    can never resume the iter-N model with the iter-(N-1) data position."""
+    path = str(tmp_path / "latest.ckpt")
+    save_checkpoint(path, _state(1), sidecar=b"pos-1")
+    assert open(path + ".datastate", "rb").read() == b"pos-1"
+
+    save_checkpoint(path, _state(2), sidecar=b"pos-2")
+    assert open(path + ".datastate", "rb").read() == b"pos-2"
+    assert not os.path.exists(path + ".old.datastate")
+    assert not os.path.exists(path + ".new.datastate")
+
+    # crash state: a finalized '.new' must carry its own sidecar
+    save_checkpoint(path + ".tmpbuild", _state(3), sidecar=b"pos-3")
+    os.rename(path + ".tmpbuild", path + ".new")
+    os.replace(path + ".tmpbuild.datastate", path + ".new.datastate")
+    resolved = resolve_checkpoint(path)
+    assert resolved == path + ".new"
+    assert open(resolved + ".datastate", "rb").read() == b"pos-3"
+
+
 @pytest.mark.slow  # full Single_agent train compile
 def test_trainer_resumes_from_crashed_swap_state(tmp_path, monkeypatch):
     """The exact observed failure: preemption mid-save left only swap-state

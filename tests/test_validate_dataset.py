@@ -35,6 +35,13 @@ def test_complete_dataset_passes(root):
     assert "DROPPED" not in r.stdout
 
 
+def test_trailing_slash_path(root):
+    # a trailing slash must not corrupt the path_dir extraction
+    r = _run(root + "/")
+    assert r.returncode == 0, r.stdout + r.stderr[-1000:]
+    assert "OK" in r.stdout
+
+
 def test_missing_file_is_reported(root):
     import glob
     import shutil

@@ -48,7 +48,7 @@ def main():
     from multiagentperception_tpu.loss import get_loss_function
     from multiagentperception_tpu.models import get_model
     from multiagentperception_tpu.optimizers import get_optimizer
-    from multiagentperception_tpu.parallel import make_mesh
+    from multiagentperception_tpu.parallel import data_parallel_mesh
     from multiagentperception_tpu.schedulers import get_scheduler
     from multiagentperception_tpu.trainer import get_trainer
     from multiagentperception_tpu.utils import get_logger
@@ -144,20 +144,7 @@ def main():
             tx = optax.apply_if_finite(tx, max_consecutive_errors=int(nan_guard))
         loss_fn = get_loss_function(cfg)
 
-        mesh = None
-        n_dp = args.data_parallel
-        if not n_dp:
-            # default: largest device count that divides the batch evenly
-            n_dp = len(jax.devices())
-            while n_dp > 1 and batch_size % n_dp:
-                n_dp -= 1
-        elif batch_size % n_dp:
-            raise ValueError(
-                f"batch_size {batch_size} not divisible by --data_parallel {n_dp}"
-            )
-        if n_dp > 1:
-            mesh = make_mesh(n_data=n_dp, n_model=1,
-                             devices=jax.devices()[:n_dp])
+        mesh = data_parallel_mesh(batch_size, args.data_parallel)
 
         trainer_cls = get_trainer(cfg)
         trainer = trainer_cls(
