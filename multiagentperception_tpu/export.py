@@ -19,13 +19,24 @@ from jax import export as jax_export
 
 def make_eval_fn(model, mo_flag: bool = True, inference: str = "activated"):
     """The canonical serving function: images -> (class map, comm graph,
-    bandwidth)."""
+    per-frame bandwidth ``(B,)``).
+
+    The bandwidth output is per batch element (ops.comm.per_frame_links) so a
+    padded tail batch can be accounted exactly at serving time; its mean
+    equals the model's scalar ``num_connect``.
+    """
+    from multiagentperception_tpu.ops.comm import per_frame_links
 
     def eval_fn(variables, images):
         pred, prob, action, num_connect = model.apply(
             variables, images, train=False, mo_flag=mo_flag, inference=inference
         )
-        return jnp.argmax(pred, axis=-1).astype(jnp.int32), prob, num_connect
+        if prob.ndim == 3 and prob.shape[1] == prob.shape[2]:
+            nc = per_frame_links(prob, inference, prob.shape[1],
+                                 topk_k=getattr(model, "topk_k", 2))
+        else:  # SRMS single-query graphs: broadcast the model scalar
+            nc = jnp.broadcast_to(num_connect, (images.shape[0],))
+        return jnp.argmax(pred, axis=-1).astype(jnp.int32), prob, nc
 
     return eval_fn
 
@@ -67,7 +78,35 @@ def export_serving(
     return bytes(exported.serialize())
 
 
-def load_serving(artifact: bytes):
-    """Rehydrate an exported artifact into a callable."""
-    exported = jax_export.deserialize(artifact)
-    return exported.call
+class ServingArtifact:
+    """A rehydrated serving artifact: callable, and self-describing.
+
+    ``jax.export`` serializes the input avals with the program, so the
+    artifact's expected batch/shape/dtype are read directly — no probing
+    (the image input is the last positional aval; weight-hotswap exports
+    put the variable tree first).
+    """
+
+    def __init__(self, exported):
+        self.exported = exported
+        self.in_avals = exported.in_avals
+
+    @property
+    def input_shape(self) -> tuple:
+        return tuple(self.in_avals[-1].shape)
+
+    @property
+    def input_dtype(self):
+        return self.in_avals[-1].dtype
+
+    @property
+    def batch(self) -> int:
+        return int(self.input_shape[0])
+
+    def __call__(self, *args):
+        return self.exported.call(*args)
+
+
+def load_serving(artifact: bytes) -> ServingArtifact:
+    """Rehydrate an exported artifact into a self-describing callable."""
+    return ServingArtifact(jax_export.deserialize(artifact))

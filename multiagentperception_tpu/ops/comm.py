@@ -95,6 +95,30 @@ def topk_select(vals: jnp.ndarray, prob: jnp.ndarray, agent_num: int, k: int):
     return fused, coef, num_connect_offdiag(coef, agent_num)
 
 
+def per_frame_links(prob: jnp.ndarray, inference: str, agent_num: int,
+                    topk_k: int = 2, thres: float = 0.2) -> jnp.ndarray:
+    """Per-sample bandwidth: off-diagonal links/agent for each batch element.
+
+    Reapplies the mode's mask to the returned ``(B, K, Q)`` graph so
+    ``per_frame_links(...).mean() == num_connect_offdiag(coef, agent_num)``
+    exactly. Serving uses this for exact tail-batch accounting (a padded
+    batch's duplicated frames would otherwise pollute the batch mean).
+    """
+    b, k, q = prob.shape
+    if inference == "argmax_test":
+        coef = one_hot_argmax(prob, axis=1)
+    elif inference == "activated":
+        coef = jnp.where(prob > thres, prob, 0.0)
+    elif inference == "topk":
+        pq = jnp.swapaxes(prob, 1, 2)
+        kth = jax.lax.top_k(pq, topk_k)[0][..., -1:]
+        coef = jnp.swapaxes(jnp.where(pq >= kth, pq, 0.0), 1, 2)
+    else:  # softmax: the full graph
+        return jnp.full((b,), float(k - 1), jnp.float32)
+    offdiag = jnp.where(jnp.eye(k, q, dtype=bool)[None], 0.0, coef)
+    return jnp.sum(offdiag != 0, axis=(1, 2)).astype(jnp.float32) / agent_num
+
+
 def drop_diagonal_softmax(logits: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     """Softmax over keys with self-links removed.
 

@@ -235,14 +235,20 @@ def make_int8_eval_fn(model, mo_flag: bool = True,
                       skip: Callable[[nn.Conv], bool] | None = default_skip,
                       act_scales: dict | None = None):
     """int8 version of export.make_eval_fn: images -> (class map, comm graph,
-    bandwidth). The interceptor wraps the apply *inside* the function, so any
-    jit/export trace picks up the quantized graph."""
+    per-frame bandwidth). The interceptor wraps the apply *inside* the
+    function, so any jit/export trace picks up the quantized graph."""
+    from multiagentperception_tpu.ops.comm import per_frame_links
 
     def eval_fn(variables, images):
         pred, prob, action, num_connect = quantized_apply(
             model, variables, images, train=False, mo_flag=mo_flag,
             inference=inference, skip=skip, act_scales=act_scales,
         )
-        return jnp.argmax(pred, axis=-1).astype(jnp.int32), prob, num_connect
+        if prob.ndim == 3 and prob.shape[1] == prob.shape[2]:
+            nc = per_frame_links(prob, inference, prob.shape[1],
+                                 topk_k=getattr(model, "topk_k", 2))
+        else:
+            nc = jnp.broadcast_to(num_connect, (images.shape[0],))
+        return jnp.argmax(pred, axis=-1).astype(jnp.int32), prob, nc
 
     return eval_fn

@@ -101,8 +101,24 @@ def main():
         )
         with open(args.out, "wb") as f:
             f.write(artifact)
+        # provenance sidecar (shape/dtype already ride inside the artifact's
+        # serialized input avals — serve.py reads those; this records what
+        # the avals can't: the config and mode the artifact was built from)
+        import hashlib
+        import json
+
+        with open(args.config, "rb") as f:
+            cfg_sha = hashlib.sha256(f.read()).hexdigest()
+        with open(args.out + ".meta.json", "w") as f:
+            json.dump({
+                "input_shape": list(shape), "input_dtype": "float32",
+                "inference": args.inference, "mo_flag": mo,
+                "int8": bool(args.int8), "config": args.config,
+                "config_sha256": cfg_sha, "model_path": args.model_path,
+                "arch": cfg["model"]["arch"],
+            }, f, indent=1)
         print(f"wrote {args.out} ({len(artifact)/1e6:.1f} MB, input {shape}, "
-              f"inference={args.inference})")
+              f"inference={args.inference}) + .meta.json")
     if args.torch_out:
         from multiagentperception_tpu.compat import save_reference_checkpoint
 

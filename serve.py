@@ -8,8 +8,10 @@ full Python model stack, reference test.py:20-121): the artifact produced by
 ``scripts/export_serving.py`` rehydrates WITHOUT model code — this CLI only
 needs the data pipeline and ``jax.export`` — and emits per-frame class maps
 (`<frame>_<cam>.png`, ids; ``--colorize`` adds an RGB panel) plus the comm
-graph bandwidth. Batch size is fixed by the artifact's input shape; the last
-partial batch is padded by repetition and trimmed after.
+graph bandwidth. The artifact is self-describing: batch size and input
+shape/dtype come from its serialized input avals (export.ServingArtifact);
+the last partial batch is padded by repetition, trimmed after, and excluded
+from the per-frame bandwidth accounting.
 """
 
 from __future__ import annotations
@@ -64,10 +66,16 @@ def main():
     if n_frames == 0:
         raise SystemExit(f"split '{args.split}' has no frames")
 
-    # probe the batch size the artifact was exported with
-    sample = np.asarray(ds[0][0])[None]  # (1, N, H, W, 3)
-    batch = _probe_batch(served, sample)
-    print(f"artifact batch={batch}, serving {n_frames} frames "
+    # the artifact's serialized input avals carry its exact input spec
+    batch = served.batch
+    sample_shape = (1,) + np.asarray(ds[0][0]).shape
+    if served.input_shape[1:] != sample_shape[1:]:
+        raise SystemExit(
+            f"artifact expects input {served.input_shape} "
+            f"({served.input_dtype}), but this dataset/config yields "
+            f"per-frame shape {sample_shape[1:]} — config mismatch")
+    print(f"artifact batch={batch} input={served.input_shape} "
+          f"{served.input_dtype}, serving {n_frames} frames "
           f"from split '{args.split}'")
 
     t0 = time.time()
@@ -86,11 +94,14 @@ def main():
     def drain(idxs, cls_map, num_connect):
         nonlocal total_cams, bw_sum
         cls_map = np.asarray(cls_map)  # blocks: device->host readback
-        # num_connect is the batch-mean link count. Weighting by the real
-        # frame count is exact for full batches; on a padded tail the mean
-        # still includes the duplicated frames, so the final average is
-        # approximate when per-frame link counts differ within that batch
-        bw_sum += float(np.asarray(num_connect)) * len(idxs)
+        nc = np.atleast_1d(np.asarray(num_connect)).reshape(-1)
+        if nc.size == batch:
+            # per-frame links (current exports): tail-batch padding frames
+            # are simply excluded — exact accounting
+            bw_sum += float(nc[: len(idxs)].sum())
+        else:
+            # legacy scalar artifact: batch mean includes padded frames
+            bw_sum += float(nc.mean()) * len(idxs)
         # MO output is batch-major (b*N + cam); single-output is (B, H, W)
         n_cams = cls_map.shape[0] // batch if cls_map.ndim == 3 and \
             cls_map.shape[0] != batch else 1
@@ -118,25 +129,6 @@ def main():
           f"{n_frames / dt:.1f} frames/sec, {total_cams / dt:.1f} maps/sec "
           f"wall incl. decode+encode; "
           f"avg bandwidth {bw_sum / n_frames:.2f} links/agent")
-
-
-def _probe_batch(served, sample):
-    """Find the artifact's expected batch size by probing tiled inputs."""
-    import numpy as np
-
-    errs = []
-    for b in (1, 2, 4, 8, 16, 20, 32):
-        x = np.repeat(sample, b, axis=0)
-        try:
-            served(x)
-            return b
-        except Exception as e:
-            errs.append(f"batch {b}: {e}")
-            continue
-    raise SystemExit("could not match the artifact's input batch size "
-                     "(tried 1..32); re-export with a standard --batch.\n"
-                     "first error: " + errs[0][:2000] + "\n"
-                     "last error: " + errs[-1][:500])
 
 
 def _write_pred(out_dir, frame_idx, cam, cls_map, ds, colorize):

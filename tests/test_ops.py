@@ -22,7 +22,7 @@ from multiagentperception_tpu.ops import (
     sparsemax,
     topk_select,
 )
-from multiagentperception_tpu.ops.comm import fuse_values
+from multiagentperception_tpu.ops.comm import fuse_values, per_frame_links
 
 
 class TestSparsemax:
@@ -133,6 +133,34 @@ class TestCommOps:
         col = np.delete(np.asarray(logits)[0, :, 2], 2)
         expected = np.exp(col - col.max()) / np.exp(col - col.max()).sum()
         np.testing.assert_allclose(np.delete(o[0, :, 2], 2), expected, atol=1e-5)
+
+
+class TestPerFrameLinks:
+    """Serving's exact tail-batch bandwidth: the per-sample decomposition of
+    num_connect_offdiag, one value per frame-set."""
+
+    def test_mean_matches_scalar_num_connect(self, rng):
+        n, b = 5, 4
+        prob = jax.nn.softmax(
+            jnp.asarray(rng.normal(size=(b, n, n))), axis=1)
+        for mode, select in (
+            ("argmax_test", argmax_select),
+            ("activated", activated_select),
+        ):
+            _, coef, nc = select(jnp.zeros((b, n, 2, 2, 3)), prob, n)
+            per = per_frame_links(prob, mode, n)
+            assert per.shape == (b,)
+            np.testing.assert_allclose(float(per.mean()), float(nc), atol=1e-6)
+
+    def test_topk_and_softmax(self, rng):
+        n, b, k = 5, 3, 2
+        prob = jax.nn.softmax(
+            jnp.asarray(rng.normal(size=(b, n, n))), axis=1)
+        _, coef, nc = topk_select(jnp.zeros((b, n, 2, 2, 3)), prob, n, k)
+        per = per_frame_links(prob, "topk", n, topk_k=k)
+        np.testing.assert_allclose(float(per.mean()), float(nc), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(per_frame_links(prob, "softmax", n)), n - 1)
 
 
 class TestConfusionMatrix:
