@@ -16,6 +16,9 @@ import jax
 import orbax.checkpoint as ocp
 
 
+SIDECAR_NAME = "datastate.bin"
+
+
 def save_checkpoint(path: str, state_dict: dict,
                     sidecar: bytes | None = None) -> str:
     """Write a checkpoint directory at ``path``, crash-safely overwriting.
@@ -23,38 +26,57 @@ def save_checkpoint(path: str, state_dict: dict,
     A naive rmtree-then-save leaves NO valid checkpoint if the process dies
     mid-save — the exact window periodic 'latest' checkpoints exist to
     survive (observed: a preemption during save left only an
-    ``.orbax-checkpoint-tmp``). Instead: write the new checkpoint beside the
-    old one, then swap via renames. At every instant at least one complete
-    checkpoint is on disk; ``resolve_checkpoint`` finds it.
+    ``.orbax-checkpoint-tmp``). Instead: write the new checkpoint into a
+    staging directory, then swap via renames. At every instant at least one
+    complete checkpoint is on disk; ``resolve_checkpoint`` finds it.
 
-    ``sidecar`` bytes (e.g. the grain data-stream position) ride INSIDE the
-    swap as ``<candidate>.datastate`` so the restored model state and its
-    data position always pair up — a sidecar written after the swap would
-    leave the previous save's position next to the new model on a crash.
+    ``sidecar`` bytes (e.g. the grain data-stream position) are written
+    INSIDE the staged directory (``datastate.bin``) before it becomes
+    visible to ``resolve_checkpoint``, so every complete candidate carries
+    its own paired data position — no crash window can pair a model state
+    with another save's sidecar (directory renames are atomic and move both
+    together). Orbax restore ignores the extra file.
     """
     import glob
     import shutil
 
     path = os.path.abspath(path)
-    new, old = path + ".new", path + ".old"
+    stage, new, old = path + ".stage", path + ".new", path + ".old"
     ckptr = ocp.StandardCheckpointer()
     # crashed earlier saves leave orbax '*-tmp*' dirs; bound the garbage
     for tmp in glob.glob(path + "*orbax-checkpoint-tmp*"):
         shutil.rmtree(tmp, ignore_errors=True)
+    _rm(stage)
     _rm(new)
-    ckptr.save(new, state_dict)
+    ckptr.save(stage, state_dict)
     ckptr.wait_until_finished()
     if sidecar is not None:
-        with open(new + ".datastate", "wb") as f:
+        with open(os.path.join(stage, SIDECAR_NAME), "wb") as f:
             f.write(sidecar)
+    # the candidate only becomes resolvable once model + sidecar are paired
+    os.rename(stage, new)
     _rm(old)
     if os.path.exists(path):
         os.rename(path, old)
-        _move_if_exists(path + ".datastate", old + ".datastate")
     os.rename(new, path)
-    _move_if_exists(new + ".datastate", path + ".datastate")
     _rm(old)
     return path
+
+
+def read_sidecar(resolved_path: str) -> bytes | None:
+    """The data-stream sidecar paired with a RESOLVED checkpoint candidate.
+
+    Current saves keep it inside the directory; pre-r3 checkpoints wrote an
+    external ``<candidate>.datastate`` that was renamed alongside — read
+    exactly the resolved candidate's sidecar, never another candidate's (a
+    suffix-stripping fallback could pair a ``.new`` model with the previous
+    save's data position)."""
+    internal = os.path.join(resolved_path, SIDECAR_NAME)
+    for candidate in (internal, resolved_path + ".datastate"):
+        if os.path.exists(candidate):
+            with open(candidate, "rb") as f:
+                return f.read()
+    return None
 
 
 def _rm(path: str) -> None:
@@ -62,14 +84,10 @@ def _rm(path: str) -> None:
 
     if os.path.isdir(path):
         shutil.rmtree(path)
+    # legacy external sidecars from pre-r3 saves
     for side in (path + ".datastate",):
         if os.path.exists(side):
             os.remove(side)
-
-
-def _move_if_exists(src: str, dst: str) -> None:
-    if os.path.exists(src):
-        os.replace(src, dst)
 
 
 def resolve_checkpoint(path: str) -> str | None:

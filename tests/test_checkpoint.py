@@ -60,25 +60,47 @@ def test_resolve_missing_returns_none(tmp_path):
 
 
 def test_sidecar_travels_with_its_checkpoint(tmp_path):
-    """The data-stream sidecar rides inside the swap: every complete
-    checkpoint candidate is paired with ITS OWN sidecar bytes, so a crash
-    can never resume the iter-N model with the iter-(N-1) data position."""
+    """The data-stream sidecar lives INSIDE the checkpoint directory: every
+    complete candidate is paired with ITS OWN sidecar bytes by construction
+    (directory renames move both atomically), so a crash can never resume
+    the iter-N model with the iter-(N-1) data position."""
+    from multiagentperception_tpu.checkpoint import read_sidecar
+
     path = str(tmp_path / "latest.ckpt")
     save_checkpoint(path, _state(1), sidecar=b"pos-1")
-    assert open(path + ".datastate", "rb").read() == b"pos-1"
+    assert read_sidecar(resolve_checkpoint(path)) == b"pos-1"
 
     save_checkpoint(path, _state(2), sidecar=b"pos-2")
-    assert open(path + ".datastate", "rb").read() == b"pos-2"
-    assert not os.path.exists(path + ".old.datastate")
-    assert not os.path.exists(path + ".new.datastate")
+    assert read_sidecar(resolve_checkpoint(path)) == b"pos-2"
+    assert float(load_checkpoint(path)["w"][0]) == 2.0  # extra file ignored
 
-    # crash state: a finalized '.new' must carry its own sidecar
+    # crash state: a finalized '.new' carries its own sidecar internally
     save_checkpoint(path + ".tmpbuild", _state(3), sidecar=b"pos-3")
     os.rename(path + ".tmpbuild", path + ".new")
-    os.replace(path + ".tmpbuild.datastate", path + ".new.datastate")
     resolved = resolve_checkpoint(path)
     assert resolved == path + ".new"
-    assert open(resolved + ".datastate", "rb").read() == b"pos-3"
+    assert read_sidecar(resolved) == b"pos-3"
+    # ...and the unsuffixed candidate still pairs with ITS sidecar, never
+    # the newer one's (the round-2 advisory's stale-pairing window)
+    assert read_sidecar(path) == b"pos-2"
+
+
+def test_sidecar_legacy_external_format_still_reads(tmp_path):
+    """Pre-r3 checkpoints wrote '<candidate>.datastate' beside the dir; the
+    reader honors exactly the resolved candidate's external sidecar and
+    never suffix-strips to another candidate's."""
+    from multiagentperception_tpu.checkpoint import read_sidecar
+
+    path = str(tmp_path / "old.ckpt")
+    save_checkpoint(path, _state(1))
+    with open(path + ".datastate", "wb") as f:
+        f.write(b"legacy-pos")
+    assert read_sidecar(path) == b"legacy-pos"
+    # a '.new' candidate WITHOUT its own sidecar must not inherit path's
+    save_checkpoint(path + ".tmpbuild", _state(2))
+    os.rename(path + ".tmpbuild", path + ".new")
+    assert resolve_checkpoint(path) == path + ".new"
+    assert read_sidecar(path + ".new") is None
 
 
 @pytest.mark.slow  # full Single_agent train compile
