@@ -101,13 +101,22 @@ class Trainer:
         self.loss_fn = loss_fn
         self.trainloader = trainloader
         self.valloader = valloader
+        # `scheduler` is the optax schedule FUNCTION (step -> lr) the
+        # optimizer was built with (train.py bakes it into optax; the
+        # reference steps a stateful torch scheduler, trainer.py:658). The
+        # trainer only uses it to log the current lr to TensorBoard.
         self.tx = optimizer
+        self.schedule = scheduler
         self.mesh = mesh
         self.n_classes = N_CLASSES
         self.arch = cfg["model"]["arch"]
         self.MO_flag = bool(cfg["model"].get("multiple_output"))
         self.agent_num = int(cfg["model"].get("agent_num") or 5)
         self.if_commun_label = cfg["data"].get("commun_label", "None")
+        # model.eval_inference overrides the per-arch default eval mode
+        # (e.g. 'topk' for the bandwidth-constrained when2com config)
+        self.eval_default = (cfg["model"].get("eval_inference")
+                             or _EVAL_DEFAULT.get(self.arch))
         self.running_metrics_val = runningScore(self.n_classes)
         self.seed = seed
         self._needs_action_rng = (
@@ -214,10 +223,13 @@ class Trainer:
         # checkpoint's running averages and skip the per-batch stat updates —
         # torch's model.eval()-during-fine-tune idiom, and measured 12%
         # faster per step (BASELINE.md train ablation: the stat math costs
-        # ~23 ms of the 198 ms step at batch 20)
+        # ~23 ms of the 198 ms step at batch 20). bn_train=False freezes ONLY
+        # BatchNorm; the forward stays on the training branch (eval-only
+        # routes like the sharded ring fusion never see gradients)
         freeze_bn = bool(self.cfg["training"].get("freeze_bn_stats"))
-        kw = (self._apply_kwargs(False, "softmax") if freeze_bn
-              else self._apply_kwargs(True))
+        kw = self._apply_kwargs(True)
+        if freeze_bn:
+            kw["bn_train"] = False
 
         normalize = self.normalize_on_device
 
@@ -348,9 +360,17 @@ class Trainer:
         self._jitted[key] = jax.jit(step)
         return self._jitted[key]
 
-    def _calibrate_int8(self, loader, inference: str | None) -> dict:
-        """Static activation scales for the int8 eval path, calibrated from
-        dataset frames (quantize.calibrate_activations)."""
+    def _calibrate_int8(self, loader, inference: str | None,
+                        calib_loader=None) -> dict:
+        """Static activation scales for the int8 eval path
+        (quantize.calibrate_activations).
+
+        Calibration frames come from ``calib_loader`` if given, else the
+        TRAIN loader, else ``loader`` itself (last resort — calibrating on
+        the split being evaluated leaks eval data into the quantization
+        config). ``training.calib_batches`` (default 4) batches are
+        max-reduced; a single-batch calibration under-covers activation
+        outliers (scale-drift test: tests/test_quantize.py)."""
         from multiagentperception_tpu.quantize import calibrate_activations
 
         model = self.model
@@ -363,22 +383,39 @@ class Trainer:
             cfg = {**self.cfg, "model": {**self.cfg["model"], "remat": False}}
             model = get_model(cfg, self.n_classes)
 
-        ds = getattr(loader, "dataset", None)
-        bs = getattr(loader, "batch_size", None) or 1
+        src = calib_loader or self.trainloader or loader
+        if src is loader and calib_loader is None and self.trainloader is None:
+            self.logger.warning(
+                "int8 calibration falling back to the evaluation loader "
+                "itself; pass calib_loader (test.py --calib_split) to "
+                "calibrate on held-out frames")
+        n_batches = int(self.cfg["training"].get("calib_batches") or 4)
+        ds = getattr(src, "dataset", None)
+        bs = int(getattr(src, "batch_size", None) or 1)
         if ds is not None:
-            n = min(len(ds), int(bs))
-            images = np.stack([np.asarray(ds[i][0]) for i in range(n)])
+            n = min(len(ds), n_batches * bs)
+            frames = [np.asarray(ds[i][0]) for i in range(n)]
+            batches = [np.stack(frames[i:i + bs])
+                       for i in range(0, n, bs)]
         else:
-            images = self._example_images(loader)
-        x = jnp.asarray(self._model_inputs(images))
-        if self.normalize_on_device:
-            x = normalize_images(x)
+            batches = [self._example_images(src)]
+
+        def prep(images):
+            x = jnp.asarray(self._model_inputs(images))
+            return normalize_images(x) if self.normalize_on_device else x
+
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
         kw = self._apply_kwargs(False, inference)
         rngs = ({"action": jax.random.PRNGKey(0)}
                 if self._needs_action_rng else None)
-        return calibrate_activations(model, variables, [x],
+        # equal-size batches share one compiled recording program; a ragged
+        # tail batch would force a recompile, so drop it when avoidable
+        sizes = {b.shape[0] for b in batches}
+        if len(sizes) > 1:
+            batches = [b for b in batches if b.shape[0] == bs] or batches[:1]
+        return calibrate_activations(model, variables,
+                                     [prep(b) for b in batches],
                                      rngs=rngs, **kw)
 
     # ------------------------------------------------------------------
@@ -514,6 +551,9 @@ class Trainer:
                 self.logger.info(print_str)
                 if self.writer is not None:
                     self.writer.add_scalar("loss/train_loss", loss_val, i + 1)
+                    if self.schedule is not None:
+                        self.writer.add_scalar(
+                            "lr", float(self.schedule(i)), i + 1)
                 time_meter.reset()
             else:
                 time_meter.update(time.time() - start_ts)
@@ -596,6 +636,21 @@ class Trainer:
             if self.writer is not None
             else os.path.join("runs", "default")
         )
+        # multi-host DP: single-writer checkpointing. State is replicated
+        # (every host holds the full PyTree), so process 0 writes for all;
+        # concurrent writers would race on the same swap path. Non-zero
+        # processes restore model state from the shared path on resume but
+        # keep their own data-stream position only if they save it — with
+        # shard_data_by_process each host's position sidecar would need a
+        # per-process path, so the stream restarts at the epoch boundary on
+        # non-zero hosts (documented limitation; grain re-shards
+        # deterministically).
+        if jax.process_index() != 0:
+            return os.path.join(
+                logdir,
+                f"{self.cfg['model']['arch']}_"
+                f"{self.cfg['data']['dataset']}_{name}.ckpt",
+            )
         save_path = os.path.join(
             logdir,
             f"{self.cfg['model']['arch']}_{self.cfg['data']['dataset']}_{name}.ckpt",
@@ -625,19 +680,14 @@ class Trainer:
             batch_stats=restored["model_state"]["batch_stats"],
             opt_state=restored["optimizer_state"],
         )
-        # the sidecar travels with its swap candidate (save_checkpoint);
-        # fall back to the unsuffixed name for pre-swap-era checkpoints
-        datastate = str(path) + ".datastate"
-        if not os.path.exists(datastate):
-            base = str(path)
-            for suffix in (".new", ".old"):
-                if base.endswith(suffix):
-                    base = base[: -len(suffix)]
-            datastate = base + ".datastate"
-        if os.path.exists(datastate) and hasattr(self.trainloader, "set_state"):
-            with open(datastate, "rb") as f:
-                self.trainloader.set_state(f.read())
-            self.logger.info("Restored data-stream position from '%s'", datastate)
+        # the sidecar lives inside the resolved candidate (save_checkpoint),
+        # so it always pairs with exactly this model state
+        from multiagentperception_tpu.checkpoint import read_sidecar
+
+        sidecar = read_sidecar(str(path))
+        if sidecar is not None and hasattr(self.trainloader, "set_state"):
+            self.trainloader.set_state(sidecar)
+            self.logger.info("Restored data-stream position from '%s'", path)
         return float(restored["best_iou"])
 
     def load_weight(self, model_path: str):
@@ -682,20 +732,22 @@ class Trainer:
         )
 
     def evaluate(self, testloader, inference_mode: str | None = None,
-                 int8: bool = False):
+                 int8: bool = False, calib_loader=None):
         """Test-split evaluation with Normal/Noise/Overall breakdown and
         bandwidth reporting (reference: trainer.py:774-840).
 
         ``int8=True`` runs the post-training-quantized serving path
-        (quantize.py): activation scales are calibrated from sample frames,
-        conv towers run int8 on the MXU (1.27x measured at mIoU parity,
-        BASELINE.md)."""
+        (quantize.py): activation scales are calibrated over
+        ``training.calib_batches`` batches of ``calib_loader`` (default: the
+        train loader), conv towers run int8 on the MXU (1.27x measured at
+        mIoU parity, BASELINE.md)."""
         if inference_mode is None:
-            inference_mode = _EVAL_DEFAULT.get(self.arch)
+            inference_mode = self.eval_default
         if self.state is None:
             self.state = self._init_state(self._example_images(testloader))
-        scales = self._calibrate_int8(testloader, inference_mode) if int8 \
-            else None
+        scales = (self._calibrate_int8(testloader, inference_mode,
+                                       calib_loader=calib_loader)
+                  if int8 else None)
         eval_step = self._eval_step_fn(inference_mode, with_loss=False,
                                        int8_scales=scales)
         running_metrics = runningScore(self.n_classes)

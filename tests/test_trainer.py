@@ -331,3 +331,28 @@ class TestAllAgentsE2E:
         assert save_path is not None
         score, _ = trainer.evaluate(vl)
         assert 0.0 <= score["Overall Acc: \t"] <= 1.0
+
+
+def test_checkpoint_single_writer_under_multihost(fixture_root, tmp_path,
+                                                  monkeypatch):
+    """Multi-host DP: only jax process 0 writes checkpoints — concurrent
+    writers on a shared filesystem would race on the swap path."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiagentperception_tpu.trainer import TrainState
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg("Single_agent", fixture_root, tmp_path, multiple_output=True)
+    trainer, _ = _build(cfg)
+    trainer.state = TrainState(
+        step=jnp.zeros((), jnp.int32), params={"w": np.zeros(2, np.float32)},
+        batch_stats={}, opt_state={}, rng=jax.random.PRNGKey(0))
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    path = trainer._save_ckpt("latest", 1, 0.5)
+    assert not os.path.exists(path)  # non-zero process: no write
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    path = trainer._save_ckpt("latest", 1, 0.5)
+    assert os.path.isdir(path)

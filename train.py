@@ -128,8 +128,13 @@ def main():
             )
             valloader = DataLoader(v_dataset, batch_size, num_workers=n_workers)
 
-        # model + services
-        model = get_model(cfg, n_classes=11)
+        # model + services. model.agent_parallel (config-only here) routes
+        # MIMOcom's eval/validation fusion through the agent-axis ICI ring;
+        # the training forward stays on the dense path (ring is eval-only)
+        from multiagentperception_tpu.parallel import agent_parallel_mesh
+
+        a_mesh = agent_parallel_mesh(cfg)
+        model = get_model(cfg, n_classes=11, agent_mesh=a_mesh)
         schedule = get_scheduler(
             cfg["training"].get("lr_schedule"),
             cfg["training"]["optimizer"]["lr"],
@@ -144,12 +149,14 @@ def main():
             tx = optax.apply_if_finite(tx, max_consecutive_errors=int(nan_guard))
         loss_fn = get_loss_function(cfg)
 
-        mesh = data_parallel_mesh(batch_size, args.data_parallel)
+        # the agent ring owns its devices — don't also batch-shard over them
+        mesh = None if a_mesh is not None else data_parallel_mesh(
+            batch_size, args.data_parallel)
 
         trainer_cls = get_trainer(cfg)
         trainer = trainer_cls(
             cfg, writer, logger, model, loss_fn, trainloader, valloader,
-            tx, mesh=mesh, seed=seed,
+            tx, scheduler=schedule, mesh=mesh, seed=seed,
         )
         save_path = trainer.train()
 
