@@ -25,12 +25,17 @@ MODELS = {
 }
 
 
-def get_model(cfg: Mapping[str, Any], n_classes: int):
+def get_model(cfg: Mapping[str, Any], n_classes: int, agent_mesh=None):
     """Build a model from a reference-schema config dict.
 
     Mirrors the constructor plumbing of the reference registry
     (models/__init__.py:8-86) — same config keys, same per-arch argument
     selection.
+
+    ``agent_mesh``: a Mesh with an 'agent' axis routes MIMOcom's eval fusion
+    through the ICI ring (parallel/ring.py) for large agent counts — built
+    by the CLIs from ``model.agent_parallel`` / ``--agent_parallel``
+    (parallel.agent_parallel_mesh).
     """
     m = cfg["model"]
     name = m["arch"]
@@ -83,6 +88,15 @@ def get_model(cfg: Mapping[str, Any], n_classes: int):
     if name == "MIMOcom":
         comm["use_pallas_comm"] = bool(m.get("pallas_comm"))
         comm["remat"] = bool(m.get("remat"))
+        # bandwidth-constrained top-k pruned graph (inference='topk'):
+        # model.topk_k sets the per-query link budget
+        if m.get("topk_k") is not None:
+            comm["topk_k"] = int(m["topk_k"])
+        if agent_mesh is not None:
+            comm["agent_mesh"] = agent_mesh
+    elif agent_mesh is not None:
+        raise ValueError(
+            f"agent-axis parallelism is a MIMOcom feature (arch {name!r})")
     return MODELS[name](**comm)
 
 

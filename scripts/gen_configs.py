@@ -1,5 +1,6 @@
 """Generate the ten shipped experiment configs (same schema/values as the
-reference's configs/, SURVEY.md §L0) under configs/."""
+reference's configs/, SURVEY.md §L0) under configs/, plus the framework's
+extension configs under configs/extensions/ (no reference counterpart)."""
 
 import os
 
@@ -125,6 +126,17 @@ CONFIGS = {
     "multi-request-multi-support/mrms_who2com.yml": {
         "model": comm_model("MIMOcomWho", 6, query_size=32, query=False,
                             multiple_output=True),
+        "data": data(MRMS_NOISE, "6agent", "mimo"),
+        "training": BASE_TRAINING,
+    },
+    # --- framework extensions (not in the reference) ---------------------
+    # bandwidth-constrained when2com: the comm graph is pruned to the top-k
+    # strongest links per requester at evaluation (BASELINE.json configs[4];
+    # tradeoff curve in BASELINE.md)
+    "extensions/mrms_when2com_topk.yml": {
+        "model": {**comm_model("MIMOcom", 6, query_size=32,
+                               multiple_output=True),
+                  "topk_k": 2, "eval_inference": "topk"},
         "data": data(MRMS_NOISE, "6agent", "mimo"),
         "training": BASE_TRAINING,
     },

@@ -35,7 +35,7 @@ def test_extension_keys_do_not_warn(caplog):
 
 def test_all_shipped_reference_configs_are_silent(caplog):
     paths = glob.glob(os.path.join(REPO, "configs", "*", "*.yml"))
-    assert len(paths) == 10
+    assert len(paths) == 11  # 10 reference + topk extension
     with caplog.at_level(logging.WARNING, logger="multiagentperception_tpu"):
         for p in paths:
             with open(p) as f:
@@ -49,3 +49,23 @@ def test_none_sentinels():
     assert cfg["data"]["noisy_type"] is None
     assert cfg["training"]["resume"] is None
     assert cfg["data"]["commun_label"] == "None"  # stays a string
+
+
+def test_topk_extension_config_plumbs_through():
+    """configs/extensions/mrms_when2com_topk.yml: model.topk_k reaches the
+    model and model.eval_inference overrides the trainer's default eval mode
+    (the bandwidth-constrained when2com product surface)."""
+    import logging
+
+    from multiagentperception_tpu.config import load_config
+    from multiagentperception_tpu.models import get_model
+    from multiagentperception_tpu.trainer import get_trainer
+
+    path = os.path.join(REPO, "configs", "extensions",
+                        "mrms_when2com_topk.yml")
+    cfg = load_config(path)
+    model = get_model(cfg, 11)
+    assert model.topk_k == 2
+    trainer = get_trainer(cfg)(
+        cfg, None, logging.getLogger("t"), model, None, None, None, None)
+    assert trainer.eval_default == "topk"

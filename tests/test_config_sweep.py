@@ -1,6 +1,7 @@
-"""Sweep all ten shipped experiment configs: each must build through the
-registry and run a train-mode forward + its eval-mode forward at reduced
-resolution (SURVEY §7.8 hardening)."""
+"""Sweep all shipped experiment configs (the reference's ten + the
+framework's extension configs): each must build through the registry and run
+a train-mode forward + its eval-mode forward at reduced resolution
+(SURVEY §7.8 hardening)."""
 
 import glob
 import os
@@ -21,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "*", "*.yml")))
 H = 128
 
-assert len(CONFIGS) == 10
+assert len(CONFIGS) == 11  # 10 reference configs + the topk extension
 
 
 def _shrink(cfg):
@@ -63,8 +64,8 @@ def test_config_builds_and_runs(path, rng):
     expect_b = n if (mo and arch != "All_agents" and arch != "Single_agent") else 1
     assert pred.shape == (expect_b, H, H, 11)
 
-    # eval-mode forward with the per-arch default inference mode
-    eval_mode = _EVAL_DEFAULT.get(arch)
+    # eval-mode forward with the config's (or per-arch default) mode
+    eval_mode = cfg["model"].get("eval_inference") or _EVAL_DEFAULT.get(arch)
     if eval_mode:
         kwargs["inference"] = eval_mode
         out = model.apply(variables, x, train=False, rngs=apply_rngs, **kwargs)
