@@ -1,4 +1,5 @@
 from multiagentperception_tpu.parallel.mesh import (
+    agent_parallel_mesh,
     data_parallel_mesh,
     make_mesh,
     batch_sharding,
@@ -7,6 +8,7 @@ from multiagentperception_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "agent_parallel_mesh",
     "data_parallel_mesh",
     "make_mesh",
     "batch_sharding",

@@ -77,6 +77,28 @@ def param_shardings(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def agent_parallel_mesh(cfg, n_cli: int = 0):
+    """The CLI policy for ``model.agent_parallel`` / ``--agent_parallel``:
+    a 1-D ('agent',) mesh routing MIMOcom's eval fusion through the ICI ring
+    (parallel/ring.py). Returns None when not requested.
+
+    The agent count must divide evenly over the requested devices (each
+    device holds agent_num/n value shards and rotates them)."""
+    import jax
+
+    n = int(n_cli or cfg["model"].get("agent_parallel") or 0)
+    if n <= 1:
+        return None
+    agent_num = int(cfg["model"].get("agent_num") or 5)
+    if len(jax.devices()) < n:
+        raise ValueError(
+            f"--agent_parallel {n} needs {n} devices, have {len(jax.devices())}")
+    if agent_num % n:
+        raise ValueError(
+            f"agent_num {agent_num} not divisible by agent_parallel {n}")
+    return Mesh(np.asarray(jax.devices()[:n]), ("agent",))
+
+
 def data_parallel_mesh(batch_size: int, n_dp: int = 0):
     """The CLI device-selection policy, shared by train.py and test.py.
 
