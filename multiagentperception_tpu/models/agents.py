@@ -13,6 +13,12 @@ All seven reference architectures, re-designed TPU-first:
 - ``training`` / ``inference`` / ``mo_flag`` are static (Python) arguments:
   each mode traces to its own fused XLA program.
 
+``bn_train`` decouples BatchNorm's mode from path selection: ``train=True,
+bn_train=False`` runs the TRAINING forward (gradient-path branches, stat-free)
+on frozen running averages — the fine-tune idiom ``training.freeze_bn_stats``
+uses. Defaults to ``train`` (the reference's coupled model.train()/eval()
+semantics).
+
 Per-agent outputs are stacked batch-major: ``out[b*N + n]`` is agent ``n`` of
 sample ``b``. (The reference stacks agent-major; only internal consistency
 with labels/masks matters, and the trainer stacks labels the same way.)
@@ -73,11 +79,13 @@ class SingleAgent(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 bn_train: bool | None = None) -> jnp.ndarray:
+        bn = train if bn_train is None else bn_train
         feat = ImgEncoder(self.feat_channel, self.feat_squeezer,
-                          self.enc_backbone, dtype=self.dtype)(x, train)
+                          self.enc_backbone, dtype=self.dtype)(x, bn)
         return ImgDecoder(self.n_classes, self.feat_squeezer,
-                          self.dec_backbone, dtype=self.dtype)(feat, train)
+                          self.dec_backbone, dtype=self.dtype)(feat, bn)
 
 
 class AllAgents(nn.Module):
@@ -97,11 +105,13 @@ class AllAgents(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True):
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 bn_train: bool | None = None):
+        bn = train if bn_train is None else bn_train
         b, n = x.shape[0], x.shape[1]
         feats = [
             ImgEncoder(self.feat_channel, self.feat_squeezer, self.enc_backbone,
-                       dtype=self.dtype, name=f"encoder{i + 1}")(x[:, i], train)
+                       dtype=self.dtype, name=f"encoder{i + 1}")(x[:, i], bn)
             for i in range(n)
         ]
         if self.shuffle_flag == "selection":
@@ -112,7 +122,7 @@ class AllAgents(nn.Module):
             aux = stacked[aux_id]
             fused = jnp.concatenate([feats[0], aux], axis=-1)
             pred = ImgDecoder(self.n_classes, self.feat_squeezer,
-                              self.dec_backbone, dtype=self.dtype)(fused, train)
+                              self.dec_backbone, dtype=self.dtype)(fused, bn)
             rand_action = jnp.full((b,), aux_id, dtype=jnp.int32)
             return pred, rand_action
         if self.shuffle_flag == "fixed2":
@@ -120,7 +130,7 @@ class AllAgents(nn.Module):
         else:  # catall
             fused = jnp.concatenate(feats, axis=-1)
         return ImgDecoder(self.n_classes, self.feat_squeezer,
-                          self.dec_backbone, dtype=self.dtype)(fused, train)
+                          self.dec_backbone, dtype=self.dtype)(fused, bn)
 
 
 class MIMOAllAgents(nn.Module):
@@ -140,11 +150,13 @@ class MIMOAllAgents(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True):
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 bn_train: bool | None = None):
+        bn = train if bn_train is None else bn_train
         b, n = x.shape[0], x.shape[1]
         feats = _unfold_agents(
             ImgEncoder(self.feat_channel, self.feat_squeezer, self.enc_backbone,
-                       dtype=self.dtype)(_fold_agents(x), train),
+                       dtype=self.dtype)(_fold_agents(x), bn),
             n,
         )  # (B, N, h, w, C)
         decoder = ImgDecoder(self.n_classes, self.feat_squeezer,
@@ -156,20 +168,20 @@ class MIMOAllAgents(nn.Module):
             rand_ids = jax.random.randint(self.make_rng("action"), (n,), 0, n)
             partner = jnp.take(feats, rand_ids, axis=1)  # (B, N, h, w, C)
             fused = jnp.concatenate([feats, partner], axis=-1)
-            pred = decoder(_fold_agents(fused), train)
+            pred = decoder(_fold_agents(fused), bn)
             rand_action = jnp.broadcast_to(rand_ids[None, :], (b, n)).astype(jnp.int32)
             return pred, rand_action
         if self.shuffle_flag == "ComNet":
             mean_others = (jnp.sum(feats, axis=1, keepdims=True) - feats) / (n - 1)
             fused = jnp.concatenate([feats, mean_others], axis=-1)
-            return decoder(_fold_agents(fused), train)
+            return decoder(_fold_agents(fused), bn)
         # catall with the reference's rotation ordering: agent i sees
         # [feat_i, feat_{i+1}, ..., feat_{i+N-1}] (agent.py:969-975).
         rot = (jnp.arange(n)[:, None] + jnp.arange(n)[None, :]) % n  # (N, N)
         gathered = feats[:, rot]  # (B, N, N, h, w, C)
         bsz, _, _, h, w, c = gathered.shape
         fused = jnp.moveaxis(gathered, 2, -2).reshape(bsz, n, h, w, n * c)
-        return decoder(_fold_agents(fused), train)
+        return decoder(_fold_agents(fused), bn)
 
 
 class LearnWho2Com(nn.Module):
@@ -192,26 +204,28 @@ class LearnWho2Com(nn.Module):
     dec_backbone: str = "simple_decoder"
     dtype: Any = None
 
-    def _encode(self, x, train):
+    def _encode(self, x, bn):
         b, n = x.shape[0], x.shape[1]
         mk = lambda name: ImgEncoder(
             self.feat_channel, self.feat_squeezer, self.enc_backbone,
             dtype=self.dtype, name=name
         )
         if self.shared_img_encoder == "unified":
-            return _unfold_agents(mk("u_encoder")(_fold_agents(x), train), n)
+            return _unfold_agents(mk("u_encoder")(_fold_agents(x), bn), n)
         if self.shared_img_encoder == "only_normal_agents":
-            own = mk("degraded_encoder")(x[:, 0], train)
-            rest = _unfold_agents(mk("normal_encoder")(_fold_agents(x[:, 1:]), train), n - 1)
+            own = mk("degraded_encoder")(x[:, 0], bn)
+            rest = _unfold_agents(mk("normal_encoder")(_fold_agents(x[:, 1:]), bn), n - 1)
             return jnp.concatenate([own[:, None], rest], axis=1)
-        feats = [mk(f"encoder{i + 1}")(x[:, i], train) for i in range(n)]
+        feats = [mk(f"encoder{i + 1}")(x[:, i], bn) for i in range(n)]
         return jnp.stack(feats, axis=1)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True, inference: str = "argmax"):
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 inference: str = "argmax", bn_train: bool | None = None):
+        bn = train if bn_train is None else bn_train
         b, n = x.shape[0], x.shape[1]
-        feats = self._encode(x, train)  # (B, N, h, w, C)
-        qk_map = PolicyNet4(self.enc_backbone, dtype=self.dtype)(_fold_agents(x), train)
+        feats = self._encode(x, bn)  # (B, N, h, w, C)
+        qk_map = PolicyNet4(self.enc_backbone, dtype=self.dtype)(_fold_agents(x), bn)
         qk_map = _unfold_agents(qk_map, n)  # (B, N, h', w', 256)
 
         keys = KMGenerator(self.key_size, dtype=self.dtype,
@@ -233,7 +247,7 @@ class LearnWho2Com(nn.Module):
         action = jnp.argmax(prob_action, axis=2)
 
         if train or inference == "softmax":
-            pred = decoder(jnp.concatenate([feats[:, 0], fused], axis=-1), train)
+            pred = decoder(jnp.concatenate([feats[:, 0], fused], axis=-1), bn)
             return pred, prob_action, action
         if inference == "argmax_test":
             # Hard top-1 supporter via one-hot matmul (replaces the per-sample
@@ -243,7 +257,7 @@ class LearnWho2Com(nn.Module):
             cat = jnp.concatenate(
                 [jax.lax.stop_gradient(feats[:, 0]), jax.lax.stop_gradient(aux)], axis=-1
             )
-            pred = decoder(cat, train)
+            pred = decoder(cat, bn)
             return pred, prob_action, action
         raise ValueError(f"Incorrect inference mode {inference!r}")
 
@@ -275,11 +289,13 @@ class LearnWhen2Com(nn.Module):
     _encode = LearnWho2Com._encode
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True, inference: str = "argmax"):
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 inference: str = "argmax", bn_train: bool | None = None):
+        bn = train if bn_train is None else bn_train
         b, n = x.shape[0], x.shape[1]
-        feats = self._encode(x, train)  # (B, N, h, w, C)
+        feats = self._encode(x, bn)  # (B, N, h, w, C)
         qk_map = _unfold_agents(
-            PolicyNet4(self.enc_backbone, dtype=self.dtype)(_fold_agents(x), train), n)
+            PolicyNet4(self.enc_backbone, dtype=self.dtype)(_fold_agents(x), bn), n)
 
         keys = _unfold_agents(
             KMGenerator(self.key_size, dtype=self.dtype,
@@ -300,16 +316,16 @@ class LearnWhen2Com(nn.Module):
         action = jnp.argmax(prob_action, axis=2)
 
         if train:
-            return decoder(fused, train), prob_action, action
+            return decoder(fused, bn), prob_action, action
         if inference == "softmax":
-            return decoder(fused, train), prob_action, action, jnp.float32(n - 1)
+            return decoder(fused, bn), prob_action, action, jnp.float32(n - 1)
         if inference == "argmax_test":
             coef = one_hot_argmax(jnp.swapaxes(prob_action, 1, 2), axis=1)  # (B,N,1)
             feat_argmax = fuse_values(coef, feats)[:, 0]
             # num_connect: fraction of samples that picked a non-self link
             # (reference: agent.py:775-798).
             num_connect = jnp.mean((action[:, 0] != 0).astype(jnp.float32))
-            pred = decoder(jax.lax.stop_gradient(feat_argmax), train)
+            pred = decoder(jax.lax.stop_gradient(feat_argmax), bn)
             return pred, prob_action, action, num_connect
         if inference == "activated":
             w = prob_action  # (B, 1, N)
@@ -318,7 +334,7 @@ class LearnWhen2Com(nn.Module):
             feat_act = fuse_values(coef, feats)[:, 0]
             # links to non-self agents per sample (agent.py:800-809)
             num_connect = jnp.sum(act[:, :, 1:] != 0).astype(jnp.float32) / b
-            pred = decoder(jax.lax.stop_gradient(feat_act), train)
+            pred = decoder(jax.lax.stop_gradient(feat_act), bn)
             # third output is the activated weight matrix, matching the
             # reference contract (agent.py:866-869: pred, prob, action, nc
             # where action == thresholded W)
@@ -376,12 +392,14 @@ class MIMOcom(nn.Module):
         train: bool = True,
         mo_flag: bool = True,
         inference: str = "argmax",
+        bn_train: bool | None = None,
     ):
         if self.shared_img_encoder != "unified":
             raise ValueError("Incorrect encoder")
+        bn = train if bn_train is None else bn_train
         b, n = x.shape[0], x.shape[1]
         flat = _fold_agents(x)
-        # static_argnums: (self, x, train) -> train selects BN mode, static
+        # static_argnums: (self, x, bn) -> bn selects BN mode, static
         enc_cls = (
             nn.remat(ImgEncoder, static_argnums=(2,)) if self.remat else ImgEncoder
         )
@@ -390,11 +408,11 @@ class MIMOcom(nn.Module):
         )
         val_mat = _unfold_agents(
             enc_cls(self.feat_channel, self.feat_squeezer, self.enc_backbone,
-                    dtype=self.dtype, name="u_encoder")(flat, train),
+                    dtype=self.dtype, name="u_encoder")(flat, bn),
             n,
         )  # (B, N, h, w, C) — value pass, separate weights from the policy pass
         qk_map = pol_cls(self.enc_backbone, dtype=self.dtype,
-                         name="query_key_net")(flat, train)
+                         name="query_key_net")(flat, bn)
         key_mat = _unfold_agents(
             KMGenerator(self.key_size, dtype=self.dtype, name="key_net")(qk_map), n)
         if self.has_query:
@@ -431,10 +449,10 @@ class MIMOcom(nn.Module):
             )
             flat_feat = _fold_agents(feat)
             if inference == "softmax":
-                pred2 = decoder(flat_feat, train)
+                pred2 = decoder(flat_feat, bn)
                 num_connect = jnp.float32(n - 1)
             else:
-                pred2 = decoder(jax.lax.stop_gradient(flat_feat), train)
+                pred2 = decoder(jax.lax.stop_gradient(flat_feat), bn)
                 num_connect = num_connect_offdiag(coef, n)
             return pred2, soft, jnp.argmax(coef, axis=1), num_connect
 
@@ -453,12 +471,12 @@ class MIMOcom(nn.Module):
                 mode=mode, diag_bias=0.001,
             )
             num_connect = num_connect_offdiag(coef, n)
-            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(feat)), train)
+            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(feat)), bn)
             action = jnp.argmax(coef, axis=1)
             return pred2, prob_action, action, num_connect
 
         feat_fuse, prob_action = attn(query_mat, key_mat, val_mat)  # (B,Q,h,w,C), (B,K,Q)
-        pred = decoder(_fold_agents(feat_fuse), train)
+        pred = decoder(_fold_agents(feat_fuse), bn)
 
         # prefer-own-frame diagonal bias (agent.py:1164-1167; the reference
         # constructs eye(K) so this only type-checks when K == Q, i.e. MO).
@@ -472,15 +490,15 @@ class MIMOcom(nn.Module):
             return pred, prob_action, action, jnp.float32(n - 1)
         if inference == "argmax_test":
             feat, coef, num_connect = argmax_select(val_mat, prob_action, n)
-            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(feat)), train)
+            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(feat)), bn)
             return pred2, prob_action, jnp.argmax(coef, axis=1), num_connect
         if inference == "activated":
             feat, coef, num_connect = activated_select(val_mat, prob_action, n)
-            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(feat)), train)
+            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(feat)), bn)
             return pred2, prob_action, jnp.argmax(coef, axis=1), num_connect
         if inference == "topk":
             feat, coef, num_connect = topk_select(val_mat, prob_action, n, self.topk_k)
-            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(feat)), train)
+            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(feat)), bn)
             return pred2, prob_action, jnp.argmax(coef, axis=1), num_connect
         raise ValueError(f"Incorrect inference mode {inference!r}")
 
@@ -511,18 +529,20 @@ class MIMOcomWho(nn.Module):
         train: bool = True,
         mo_flag: bool = True,
         inference: str = "argmax",
+        bn_train: bool | None = None,
     ):
         if self.shared_img_encoder != "unified":
             raise ValueError("Incorrect shared_img_encoder flag")
+        bn = train if bn_train is None else bn_train
         b, n = x.shape[0], x.shape[1]
         flat = _fold_agents(x)
         val_mat = _unfold_agents(
             ImgEncoder(self.feat_channel, self.feat_squeezer, self.enc_backbone,
-                       dtype=self.dtype, name="u_encoder")(flat, train),
+                       dtype=self.dtype, name="u_encoder")(flat, bn),
             n,
         )
         qk_map = PolicyNet4(self.enc_backbone, dtype=self.dtype,
-                            name="query_key_net")(flat, train)
+                            name="query_key_net")(flat, bn)
         key_mat = _unfold_agents(
             KMGenerator(self.key_size, dtype=self.dtype, name="key_net")(qk_map), n)
         if self.has_query:
@@ -541,7 +561,7 @@ class MIMOcomWho(nn.Module):
         decoder = ImgDecoder(self.n_classes, self.feat_squeezer,
                              self.dec_backbone, dtype=self.dtype)
         fuse_map = jnp.concatenate([feat_fuse, val_mat], axis=-1)
-        pred = decoder(_fold_agents(fuse_map), train)
+        pred = decoder(_fold_agents(fuse_map), bn)
 
         action = jnp.argmax(prob_action, axis=1)
         if train or inference == "softmax":
@@ -549,11 +569,11 @@ class MIMOcomWho(nn.Module):
         if inference == "argmax_test":
             feat, coef, num_connect = argmax_select(val_mat, prob_action, n)
             cat = jnp.concatenate([feat, val_mat], axis=-1)
-            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(cat)), train)
+            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(cat)), bn)
             return pred2, prob_action, action, num_connect
         if inference == "activated":
             feat, coef, num_connect = activated_select(val_mat, prob_action, n)
             cat = jnp.concatenate([feat, val_mat], axis=-1)
-            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(cat)), train)
+            pred2 = decoder(jax.lax.stop_gradient(_fold_agents(cat)), bn)
             return pred2, prob_action, action, num_connect
         raise ValueError(f"Incorrect inference mode {inference!r}")
