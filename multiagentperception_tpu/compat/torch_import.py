@@ -34,10 +34,16 @@ from multiagentperception_tpu.utils.compat import convert_state_dict
 
 
 def _np(v) -> np.ndarray:
-    """torch.Tensor | np.ndarray -> float32/np array (no torch import needed)."""
+    """torch.Tensor | np.ndarray -> OWNING np array (no torch import needed).
+
+    Must copy, not view: ``tensor.numpy()`` shares the tensor's storage, and
+    jax's CPU backend can zero-copy alias numpy buffers — an aliased import
+    would silently track the live torch module (a torch ``optimizer.step()``
+    or BN running-stat update would rewrite the "converted" flax weights,
+    observed as a 17% gradient mismatch in the train-parity test)."""
     if hasattr(v, "detach"):
         v = v.detach().cpu().numpy()
-    return np.asarray(v)
+    return np.array(v)
 
 
 class _StateDict:

@@ -17,11 +17,10 @@ from flax import linen as nn
 
 from multiagentperception_tpu.ops.resize import bilinear_resize
 from multiagentperception_tpu.models.blocks import (
-    BN_EPS,
-    BN_MOMENTUM,
     BasicBlock,
     ConvBNRelu,
     DeconvBNRelu,
+    TorchBatchNorm,
     conv_init,
 )
 
@@ -56,8 +55,8 @@ class ResnetEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, kernel_init=conv_init, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype)(x)
+        x = TorchBatchNorm(use_running_average=not train,
+                           dtype=self.dtype, name="BatchNorm_0")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for features, strides in [(64, 1), (128, 2), (256, 2), (512, 2)]:

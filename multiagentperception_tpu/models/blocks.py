@@ -27,6 +27,56 @@ BN_MOMENTUM = 0.9  # flax decay == 1 - torch momentum (0.1)
 BN_EPS = 1e-5
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's running-stat semantics.
+
+    flax's ``nn.BatchNorm`` EMAs the BIASED batch variance into ``var``;
+    torch normalizes with the biased variance but stores the UNBIASED one
+    (``n/(n-1)``) in ``running_var`` (torch ``_BatchNorm.forward``). The two
+    are indistinguishable at large reduction counts, but the deep policy
+    convs reduce over only n = B*N*h*w ≈ 6-24 elements where the correction
+    is 4-20% — caught by the first-step running-stat check in
+    tests/test_parity.py::test_train_step_parity. Variable layout matches
+    ``nn.BatchNorm`` (params scale/bias, batch_stats mean/var), so
+    checkpoints and the torch importer/exporter are unaffected (call sites
+    pin ``name="BatchNorm_N"`` to keep the auto-numbered paths).
+    """
+
+    use_running_average: bool
+    momentum: float = BN_MOMENTUM  # flax-style decay (1 - torch momentum)
+    epsilon: float = BN_EPS
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axes)
+            # biased variance normalizes the batch (torch does the same)
+            var = jnp.mean(jnp.square(x32), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.size // feat
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = (
+                    m * ra_var.value + (1 - m) * var * (n / max(n - 1, 1)))
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class ConvBNRelu(nn.Module):
     """Conv -> BatchNorm -> ReLU (reference: models/utils.py:87-120)."""
 
@@ -55,10 +105,8 @@ class ConvBNRelu(nn.Module):
             kernel_init=conv_init,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
-            dtype=self.dtype,
-        )(x)
+        x = TorchBatchNorm(use_running_average=not train,
+                           dtype=self.dtype, name="BatchNorm_0")(x)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -96,10 +144,8 @@ class DeconvBNRelu(nn.Module):
             kernel_init=conv_init,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
-            dtype=self.dtype,
-        )(x)
+        x = TorchBatchNorm(use_running_average=not train,
+                           dtype=self.dtype, name="BatchNorm_0")(x)
         return nn.relu(x)
 
 
@@ -137,22 +183,21 @@ class BasicBlock(nn.Module):
             padding=[(1, 1), (1, 1)], use_bias=False, kernel_init=conv_init,
             dtype=self.dtype,
         )(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype)(y)
+        y = TorchBatchNorm(use_running_average=not train,
+                           dtype=self.dtype, name="BatchNorm_0")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.features, (3, 3), padding="SAME", use_bias=False,
             kernel_init=conv_init, dtype=self.dtype,
         )(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype)(y)
+        y = TorchBatchNorm(use_running_average=not train,
+                           dtype=self.dtype, name="BatchNorm_1")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(
                 self.features, (1, 1), strides=(self.strides, self.strides),
                 use_bias=False, kernel_init=conv_init, dtype=self.dtype,
             )(residual)
-            residual = nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM,
-                epsilon=BN_EPS, dtype=self.dtype,
-            )(residual)
+            residual = TorchBatchNorm(use_running_average=not train,
+                                      dtype=self.dtype,
+                                      name="BatchNorm_2")(residual)
         return nn.relu(y + residual)

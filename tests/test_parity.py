@@ -488,7 +488,7 @@ def test_all_shipped_configs_convert_at_full_resolution():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfgs = sorted(glob.glob(os.path.join(repo, "configs", "*", "*.yml")))
-    assert len(cfgs) == 10
+    assert len(cfgs) == 11  # 10 reference + topk extension (same param tree)
     for path in cfgs:
         with open(path) as f:
             cfg = yaml.safe_load(f)
@@ -627,3 +627,171 @@ def test_cross_framework_miou_identical(mimocom):
                                rs_ref.get_avg_bandW(), atol=1e-6)
     np.testing.assert_allclose(rs_ours.get_selection_accuracy(),
                                rs_ref.get_selection_accuracy(), atol=1e-9)
+
+
+# ----------------------------------------------------- training dynamics
+
+def test_train_step_parity(tmp_path):
+    """TRAINING-dynamics parity vs the reference (VERDICT r2 #1): identical
+    init, identical f32 batch, K adam steps in both frameworks — per-step
+    loss trajectories match, the first-step gradients match tensor-by-tensor
+    (through train-mode BN, stride-2 conv backwards, the x32 upsample and
+    the CE ignore-index mask), and the K-step parameter deltas agree.
+
+    Tolerance budget (measured; table in BASELINE.md "training-dynamics
+    parity"): two tensor classes fall out of the architecture itself —
+
+    - analytically-ZERO gradients: every conv bias feeding a BatchNorm (the
+      mean subtraction cancels any input shift) and the key MLP's final bias
+      (shifting all keys by one vector adds a per-query constant to all
+      softmax logits). Both frameworks produce ~1e-11 noise there; assert
+      both are < 1e-6 — respecting the invariance IS the parity property.
+    - real gradients: measured worst L2-relative distance 1.4e-2 with
+      cosine >= 0.9999 (BN scale/bias tensors of the policy tower, whose
+      grads are ~1e-5 differences of O(1) terms); an f64 ground-truth run
+      puts torch's own f32 grads a comparable distance from the truth, so
+      this is f32 conditioning of the 20-deep BN'd conv chain, not
+      divergence. Assert L2-rel < 5e-2, cosine > 0.995 (3x headroom).
+
+    Adam's rsqrt normalizes updates to ~lr regardless of |g|, so noise-
+    dominated elements can flip update sign; the K-step delta check bounds
+    the MEAN absolute parameter difference against the K*lr update scale
+    instead of elementwise.
+    Match: /root/reference/ptsemseg/trainer.py:642-673, loss/loss.py:5-35.
+    """
+    import sys
+
+    import optax
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    from ptsemseg.loss.loss import cross_entropy2d as ref_ce
+
+    from multiagentperception_tpu.compat.torch_export import (
+        export_torch_state_dict,
+    )
+    from multiagentperception_tpu.loss import cross_entropy2d as my_ce
+
+    K, LR, IMG, N = 4, 1e-4, 128, 3
+    cfg = _cfg("MIMOcom", IMG, N, query_size=8, key_size=64)
+    x = _inputs(IMG, N, seed=3)
+    # deterministic weight draw: the f32 noise amplification depends on the
+    # init, and an unlucky draw would need looser tolerances
+    torch.manual_seed(0)
+    torch.set_num_threads(1)
+    tm, jm, variables = _pair(
+        cfg, (_j_in(x),), dict(train=True, mo_flag=True, inference="argmax"))
+
+    rng = np.random.RandomState(11)
+    labels = rng.randint(0, 11, size=(B, N, IMG, IMG))
+    yt = torch.from_numpy(
+        labels.transpose(1, 0, 2, 3).reshape(N * B, IMG, IMG))  # agent-major
+    yj = jnp.asarray(labels.reshape(B * N, IMG, IMG))  # batch-major
+    xt, xj = _t_in(x), _j_in(x)
+
+    # ---- torch: the reference train loop body (trainer.py:658-673)
+    tm.train()
+    opt_t = torch.optim.Adam(tm.parameters(), lr=LR)
+    t_losses, t_grads = [], None
+    t_stats0 = None
+    for k in range(K):
+        opt_t.zero_grad()
+        pred, _, _, _ = tm(xt, training=True, MO_flag=True, inference="argmax")
+        loss = ref_ce(input=pred, target=yt)
+        loss.backward()
+        if k == 0:
+            t_grads = {n: p.grad.detach().numpy().copy()
+                       for n, p in tm.named_parameters()}
+            t_stats0 = {n: v.numpy().copy() for n, v in tm.state_dict().items()
+                        if n.endswith(("running_mean", "running_var"))}
+        opt_t.step()
+        t_losses.append(float(loss))
+
+    # ---- flax: the jitted train step (multiagentperception_tpu/trainer.py)
+    tx = optax.adam(LR)  # same defaults as torch.optim.Adam
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+
+    def loss_fn(p, stats):
+        out, upd = jm.apply({"params": p, "batch_stats": stats}, xj,
+                            train=True, mo_flag=True, inference="argmax",
+                            mutable=["batch_stats"])
+        return my_ce(input=out[0], target=yj), upd["batch_stats"]
+
+    @jax.jit
+    def step(p, stats, opt_state):
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, stats)
+        updates, new_opt = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), new_stats, new_opt, loss, grads
+
+    j_losses, j_grads, j_stats0 = [], None, None
+    for k in range(K):
+        params, stats, opt_state, loss, grads = step(params, stats, opt_state)
+        if k == 0:
+            j_grads = jax.device_get(grads)
+            j_stats0 = jax.device_get(stats)
+        j_losses.append(float(loss))
+
+    # ---- per-step losses
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4, atol=2e-5)
+
+    # ---- first-step gradients, tensor by tensor in the torch layout
+    # (the exporter maps grads exactly like params; BN running stats are
+    # state, not parameters — drop their entries)
+    g_sd = export_torch_state_dict(
+        cfg, {"params": j_grads, "batch_stats": variables["batch_stats"]})
+    skipped = ("running_mean", "running_var", "num_batches_tracked")
+    checked = zero_class = 0
+    for name, tg in t_grads.items():
+        jg = np.asarray(g_sd[name], np.float32)
+        if np.abs(tg).max() < 1e-8:
+            # analytically-zero class (docstring): both must respect the
+            # BN-shift / softmax-shift invariance
+            assert np.abs(jg).max() < 1e-6, \
+                f"{name}: jax grad {np.abs(jg).max():.2e} not ~0"
+            zero_class += 1
+        else:
+            l2rel = np.linalg.norm(jg - tg) / (np.linalg.norm(tg) + 1e-30)
+            assert l2rel < 5e-2, \
+                f"gradient mismatch: {name} l2rel={l2rel:.2e}"
+            # direction: a wrong detach/BN-mode flips whole subsystems
+            cos = float(np.dot(tg.ravel(), jg.ravel())) / float(
+                np.linalg.norm(tg) * np.linalg.norm(jg))
+            assert cos > 0.995, f"gradient direction mismatch: {name} cos={cos}"
+        checked += 1
+    assert zero_class == 8  # 7 conv-before-BN biases + key_net.fc.4.bias
+    assert checked == sum(1 for n in g_sd if not n.endswith(skipped)) \
+        and checked > 150  # every parameter tensor was compared
+
+    # ---- K-step parameter deltas (mean-abs bound; see docstring)
+    p_sd = export_torch_state_dict(
+        cfg, {"params": params, "batch_stats": stats})
+    for name, pt in tm.named_parameters():
+        diff = np.abs(np.asarray(p_sd[name], np.float32)
+                      - pt.detach().numpy())
+        # fully-diverged dynamics would put the mean difference at the full
+        # ~K*LR adam update scale; noise-dominated elements flip update sign
+        # and contribute ~2*LR each, measured mean 2.2e-5 on the policy stem
+        assert diff.mean() < 0.1 * K * LR, \
+            f"param delta diverged: {name} mean={diff.mean():.2e}"
+
+    # ---- BN running stats after the FIRST step: computed at identical
+    # weights, so the EMA (momentum/eps/biased-variance semantics) must
+    # match to f32 noise. (After K steps the stats integrate batch moments
+    # at slightly-diverged weights and only compare loosely — the K-step
+    # loss trajectory above already bounds that compounding.)
+    s_sd = export_torch_state_dict(
+        cfg, {"params": params, "batch_stats": j_stats0})
+    stats_checked = 0
+    for name, tv in t_stats0.items():
+        # the reference's img_encoder registers alias Sequentials (e.g.
+        # 'backbone_1') sharing the canonical modules' storage — the
+        # exporter only emits canonical names, the aliases track them
+        if name not in s_sd:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(s_sd[name], np.float32), tv, rtol=1e-3, atol=1e-4,
+            err_msg=f"BN stat mismatch: {name}")
+        stats_checked += 1
+    assert stats_checked > 60  # both towers' BN stacks were compared
