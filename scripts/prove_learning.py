@@ -93,7 +93,62 @@ def main(iters=400, batch=4, img=128, lr=1e-4, platform=None, root=None,
     miou_int8 = int8_miou(trainer, model, evalloader)
     print(f"train-set mIoU, int8-quantized serving path: {miou_int8:.4f} "
           f"(delta {miou_int8 - miou:+.4f})")
+    if "--tradeoff" in sys.argv:
+        tradeoff_curve(trainer, cfg, evalloader)
     return miou, when_acc, who_acc, miou_int8
+
+
+def tradeoff_curve(trainer, cfg, evalloader):
+    """Bandwidth-vs-mIoU curve on the trained weights: the top-k pruned
+    graph (k = 1..N), the activated threshold sweep, hard argmax, and full
+    softmax fusion (BASELINE.json's bandwidth-constrained configuration).
+    k and the threshold are static model/config attributes, so each point
+    is its own compiled eval program over the same parameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiagentperception_tpu.metrics import runningScore
+    from multiagentperception_tpu.models import get_model
+    from multiagentperception_tpu.ops.comm import confusion_matrix
+
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    batches = [(jnp.asarray(trainer._model_inputs(b[0])),
+                jnp.asarray(trainer._labels(b[1]).astype("int32")))
+               for b in evalloader]
+    n = int(cfg["model"]["agent_num"])
+
+    def run(model, inference):
+        @jax.jit
+        def step(variables, x, y):
+            pred, prob, act, nc = model.apply(
+                variables, x, train=False, mo_flag=True, inference=inference)
+            hist = confusion_matrix(y, jnp.argmax(pred, -1), trainer.n_classes)
+            return hist, nc
+
+        rm = runningScore(trainer.n_classes)
+        for x, y in batches:
+            hist, nc = step(variables, x, y)
+            rm.update_hist(hist)
+            rm.update_bandW(float(nc))
+        score, _ = rm.get_scores()
+        return score["Mean IoU : \t"], rm.get_avg_bandW()
+
+    rows = []
+    for k in range(1, n + 1):
+        model_k = get_model(
+            {**cfg, "model": {**cfg["model"], "topk_k": k}}, trainer.n_classes)
+        miou, bw = run(model_k, "topk")
+        rows.append((f"topk k={k}", bw, miou))
+    base = get_model(cfg, trainer.n_classes)
+    for mode in ("argmax_test", "activated", "softmax"):
+        miou, bw = run(base, mode)
+        rows.append((mode, bw, miou))
+    print("\nbandwidth-vs-mIoU tradeoff (trained fixture weights):")
+    print(f"{'mode':>14s}  {'links/agent':>11s}  {'mIoU':>7s}")
+    for mode, bw, miou in rows:
+        print(f"{mode:>14s}  {bw:11.3f}  {miou:7.4f}")
+    return rows
 
 
 def int8_miou(trainer, model, evalloader):
