@@ -73,8 +73,8 @@ _TRAINING_DEFAULTS: dict[str, Any] = {
 # table). A key in neither set is probably a typo — the raw-dict schema
 # would otherwise silently no-op it (e.g. 'freez_bn_stats').
 _EXTENSION_KEYS: dict[str, set] = {
-    "model": {"dtype", "remat", "pallas_comm", "topk_k", "eval_inference",
-              "agent_parallel"},
+    "model": {"dtype", "remat", "pallas_comm", "topk_k",
+              "eval_inference", "agent_parallel"},
     "data": {"on_device_normalize", "cache_decoded"},
     # 'augmentations' is a REFERENCE schema key read from training
     # (reference train.py:137; ours train.py:91), not an extension — but it

@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def bench(fn, args, k_lo=2, k_hi=10):
+def bench(fn, args, k_lo=10, k_hi=60):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -33,7 +33,12 @@ def bench(fn, args, k_lo=2, k_hi=10):
                 x = x + (y * jnp.asarray(1e-6, y.dtype)).astype(x.dtype)
                 return x
 
-            return lax.fori_loop(0, k, body, x)
+            out = lax.fori_loop(0, k, body, x)
+            # scalar result: the sum consumes every element of the final
+            # carry (nothing is DCE-able), and the readback through the
+            # ~100 MB/s tunnel stays tiny — reading back the full carry
+            # swamped the timing with seconds of transfer jitter
+            return jnp.sum(out.astype(jnp.float32))
 
         return loop
 
@@ -46,8 +51,8 @@ def bench(fn, args, k_lo=2, k_hi=10):
         return time.time() - t0
 
     lo, hi = make_loop(k_lo), make_loop(k_hi)
-    t_lo = min(run(lo), run(lo))
-    t_hi = min(run(hi), run(hi))
+    t_lo = min(run(lo), run(lo), run(lo))
+    t_hi = min(run(hi), run(hi), run(hi))
     return (t_hi - t_lo) / (k_hi - k_lo)
 
 
@@ -80,20 +85,22 @@ def main():
         t_xla = bench(lambda x, *p: fused_basic_block_reference(x, *p),
                       (x,) + params)
         print(f"{name}  XLA block:        {t_xla*1e3:7.3f} ms  "
-              f"({flops/t_xla/1e12:5.1f} TF/s)")
+              f"({flops/t_xla/1e12:5.1f} TF/s)", flush=True)
 
-        variants = [("plain", False, 32)]
-        if c < 128:
-            variants.append(("pair", True, 32))
+        # plain mode needs full 128 lanes (Mosaic DMA slices align to the
+        # (8, 128) tiling); pair/superpixel mode IS the C=64 path
+        variants = ([("pair", True, 32)] if c < 128
+                    else [("plain", False, 32)])
         for tag, pair, tile in variants:
             try:
                 t = bench(lambda x, *p: fused_basic_block(
                     x, *p, tile=tile, pair=pair), (x,) + params)
                 print(f"{name}  pallas {tag:5s} t{tile}: {t*1e3:7.3f} ms  "
-                      f"({flops/t/1e12:5.1f} TF/s)  {t_xla/t:4.2f}x vs XLA")
+                      f"({flops/t/1e12:5.1f} TF/s)  {t_xla/t:4.2f}x vs XLA",
+                      flush=True)
             except Exception as e:
                 print(f"{name}  pallas {tag}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:300]}")
+                      f"{str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
