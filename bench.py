@@ -38,6 +38,20 @@ import time
 
 import numpy as np
 
+
+def enable_compile_cache():
+    """Persist XLA compiles to /tmp/jax_cache (shared with the test suite).
+
+    The numbers are unaffected — warmup runs are discarded — but reruns of
+    the harness skip the multi-minute single-core compiles."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+enable_compile_cache()
+
 # torch-cpu reference measurement (scripts/measure_reference_baseline.py on
 # this host): 15378.6 ms/step at batch=2 -> 0.780 frames/sec.
 TORCH_CPU_BASELINE_FPS = 0.780

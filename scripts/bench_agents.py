@@ -23,6 +23,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 def bench_n(n_agents: int, batch: int, img: int):
     import jax

@@ -21,42 +21,49 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 
 
 def bench(make_step, args, k_lo=2, k_hi=8):
+    """Amortized per-step device time, bench.py methodology (fully-live
+    loop-carried state, two trip counts to cancel dispatch/readback).
+
+    The trip count is a TRACED argument (fori_loop lowers to while_loop),
+    so each probe costs ONE ~1.5-5 min single-core compile instead of two;
+    the k_lo/k_hi runs share the executable."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    def make_loop(k):
-        step = make_step()
+    step = make_step()
 
-        @jax.jit
-        def loop(x, *rest):
-            def body(i, carry):
-                x = carry
-                y = step(x, *rest)
-                leaves = jax.tree_util.tree_leaves(y)
-                upd = sum((jnp.mean(l.astype(jnp.float32)) for l in leaves),
-                          jnp.float32(0))
-                return x + (upd * 1e-6).astype(x.dtype)
+    @jax.jit
+    def loop(k, x, *rest):
+        def body(i, carry):
+            y = step(carry, *rest)
+            leaves = jax.tree_util.tree_leaves(y)
+            upd = sum((jnp.mean(l.astype(jnp.float32)) for l in leaves),
+                      jnp.float32(0))
+            return carry + (upd * 1e-6).astype(carry.dtype)
 
-            return lax.fori_loop(0, k, body, x)
+        return lax.fori_loop(0, k, body, x)
 
-        return loop
-
-    def run(loop):
-        out = loop(*args)
+    def run(k):
+        out = loop(jnp.int32(k), *args)
         np.asarray(out).ravel()[:1]
         t0 = time.time()
-        out = loop(*args)
+        out = loop(jnp.int32(k), *args)
         np.asarray(out).ravel()[:1]
         return time.time() - t0
 
-    lo, hi = make_loop(k_lo), make_loop(k_hi)
-    t_lo = min(run(lo), run(lo))
-    t_hi = min(run(hi), run(hi))
+    run(k_lo)  # compile once
+    t_lo = min(run(k_lo), run(k_lo))
+    t_hi = min(run(k_hi), run(k_hi))
     return (t_hi - t_lo) / (k_hi - k_lo)
 
 
@@ -95,19 +102,22 @@ def stage_ablation():
             return BasicBlock(self.features, 1, dtype=jnp.bfloat16)(x, False)
 
     B = 120
-    rng = np.random.default_rng(0)
     stages = [
-        ("stem", Stem(), (B, 512, 512, 3)),
         ("layer1", Stage(64, 1), (B, 128, 128, 64)),
         ("layer2", Stage(128, 2), (B, 128, 128, 64)),
         ("layer3", Stage(256, 2), (B, 64, 64, 128)),
         ("layer4", Stage(512, 2), (B, 32, 32, 256)),
+        ("stem", Stem(), (B, 512, 512, 3)),
     ]
-    print(f"{'stage':8s} {'fwd ms':>8s} {'fwd+bwd ms':>10s} {'bwd/fwd':>8s}")
+    print(f"{'stage':8s} {'fwd ms':>8s} {'fwd+bwd ms':>10s} {'bwd/fwd':>8s}",
+          flush=True)
     rows = []
     for name, mod, shape in stages:
-        x = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
-        v = mod.init(jax.random.PRNGKey(0), x)
+        # inputs are generated ON DEVICE: host-side np arrays of this size
+        # take tens of minutes to dribble through the tunnel (85% sys-time
+        # stall, measured) — the same trap bench.py's jnp.zeros avoids
+        x = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.bfloat16)
+        v = jax.jit(mod.init)(jax.random.PRNGKey(0), x)
 
         def make_fwd(mod=mod, v=v):
             def f(x):
@@ -128,7 +138,7 @@ def stage_ablation():
         t_fb = bench(make_bwd, (x,))
         rows.append((name, t_f, t_fb))
         print(f"{name:8s} {t_f*1e3:8.2f} {t_fb*1e3:10.2f} "
-              f"{(t_fb - t_f)/t_f:8.2f}")
+              f"{(t_fb - t_f)/t_f:8.2f}", flush=True)
     return rows
 
 
@@ -142,8 +152,10 @@ def stride2_grad_micro():
 
     B, H, C_IN, C_OUT = 120, 128, 64, 128
     rng = np.random.default_rng(1)
-    dy = jnp.asarray(rng.normal(size=(B, H // 2, H // 2, C_OUT)), jnp.bfloat16)
-    w = jnp.asarray(rng.normal(size=(3, 3, C_IN, C_OUT)) * 0.05, jnp.bfloat16)
+    dy = jax.random.normal(jax.random.PRNGKey(2),
+                           (B, H // 2, H // 2, C_OUT), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(3),
+                          (3, 3, C_IN, C_OUT), jnp.bfloat16) * 0.05
 
     dn = lax.conv_dimension_numbers((B, H, H, C_IN), w.shape,
                                     ("NHWC", "HWIO", "NHWC"))

@@ -18,6 +18,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 from multiagentperception_tpu.config import normalize_config  # noqa: E402
 from multiagentperception_tpu.loss import get_loss_function  # noqa: E402
 from multiagentperception_tpu.metrics import runningScore  # noqa: E402

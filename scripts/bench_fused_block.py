@@ -15,6 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import numpy as np
 
 

@@ -40,6 +40,10 @@ def main():
     if os.environ.get("MAP_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["MAP_PLATFORM"])
 
+    from multiagentperception_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     import numpy as np
 
     from multiagentperception_tpu.config import load_config

@@ -43,6 +43,10 @@ def main():
     if os.environ.get("MAP_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["MAP_PLATFORM"])
 
+    from multiagentperception_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     from multiagentperception_tpu.data import DataLoader, get_loader
     from multiagentperception_tpu.data.augmentations import get_composed_augmentations
     from multiagentperception_tpu.loss import get_loss_function
