@@ -34,8 +34,11 @@ def bench(make_step, args, k_lo=2, k_hi=8):
     loop-carried state, two trip counts to cancel dispatch/readback).
 
     The trip count is a TRACED argument (fori_loop lowers to while_loop),
-    so each probe costs ONE ~1.5-5 min single-core compile instead of two;
-    the k_lo/k_hi runs share the executable."""
+    so each probe costs ONE compile; the k_lo/k_hi runs share the
+    executable. Everything the step needs (params included) must come in
+    via ``args`` — closed-over arrays become inline MLIR constants, whose
+    serialization alone measured 138 s for a ~100-op program on this host
+    (and is not covered by the persistent compile cache)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -53,12 +56,17 @@ def bench(make_step, args, k_lo=2, k_hi=8):
 
         return lax.fori_loop(0, k, body, x)
 
+    def sync(out):
+        # force completion with a ~2-byte readback: a device-side slice is
+        # sequenced after the loop, and np.asarray on it blocks (reading the
+        # FULL carry would drag 100s of MB through the tunnel per run;
+        # block_until_ready alone does not reliably block through it)
+        np.asarray(out.ravel()[:1])
+
     def run(k):
-        out = loop(jnp.int32(k), *args)
-        np.asarray(out).ravel()[:1]
+        sync(loop(jnp.int32(k), *args))
         t0 = time.time()
-        out = loop(jnp.int32(k), *args)
-        np.asarray(out).ravel()[:1]
+        sync(loop(jnp.int32(k), *args))
         return time.time() - t0
 
     run(k_lo)  # compile once
@@ -116,16 +124,21 @@ def stage_ablation():
         # inputs are generated ON DEVICE: host-side np arrays of this size
         # take tens of minutes to dribble through the tunnel (85% sys-time
         # stall, measured) — the same trap bench.py's jnp.zeros avoids
+        print(f"[{name}] gen input...", file=sys.stderr, flush=True)
         x = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.bfloat16)
+        x.block_until_ready()
+        print(f"[{name}] init...", file=sys.stderr, flush=True)
         v = jax.jit(mod.init)(jax.random.PRNGKey(0), x)
+        jax.block_until_ready(v)
+        print(f"[{name}] bench fwd...", file=sys.stderr, flush=True)
 
-        def make_fwd(mod=mod, v=v):
-            def f(x):
+        def make_fwd(mod=mod):
+            def f(x, v):
                 return mod.apply(v, x)
             return f
 
-        def make_bwd(mod=mod, v=v):
-            def f(x):
+        def make_bwd(mod=mod):
+            def f(x, v):
                 def loss(p, x):
                     return jnp.sum(
                         mod.apply({**v, "params": p}, x).astype(jnp.float32)
@@ -134,8 +147,8 @@ def stage_ablation():
                 return (gp, gx)
             return f
 
-        t_f = bench(make_fwd, (x,))
-        t_fb = bench(make_bwd, (x,))
+        t_f = bench(make_fwd, (x, v))
+        t_fb = bench(make_bwd, (x, v))
         rows.append((name, t_f, t_fb))
         print(f"{name:8s} {t_f*1e3:8.2f} {t_fb*1e3:10.2f} "
               f"{(t_fb - t_f)/t_f:8.2f}", flush=True)
