@@ -39,16 +39,9 @@ import time
 import numpy as np
 
 
-def enable_compile_cache():
-    """Persist XLA compiles to /tmp/jax_cache (shared with the test suite).
-
-    The numbers are unaffected — warmup runs are discarded — but reruns of
-    the harness skip the multi-minute single-core compiles."""
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+# one implementation (honors MAP_COMPILE_CACHE); re-exported because the
+# scripts/bench_*.py harnesses import it from here
+from multiagentperception_tpu.utils import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
 

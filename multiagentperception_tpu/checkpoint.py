@@ -60,6 +60,12 @@ def save_checkpoint(path: str, state_dict: dict,
         os.rename(path, old)
     os.rename(new, path)
     _rm(old)
+    # a pre-r3 save left its sidecar OUTSIDE the directory; the checkpoint
+    # it belonged to was just rotated away, so without this a data_backend
+    # switch could later pair the fresh model with that stale position
+    legacy = path + ".datastate"
+    if os.path.exists(legacy):
+        os.remove(legacy)
     return path
 
 

@@ -17,18 +17,25 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 
-def make_eval_fn(model, mo_flag: bool = True, inference: str = "activated"):
+def make_eval_fn(model, mo_flag: bool = True, inference: str = "activated",
+                 apply_fn=None):
     """The canonical serving function: images -> (class map, comm graph,
     per-frame bandwidth ``(B,)``).
 
     The bandwidth output is per batch element (ops.comm.per_frame_links) so a
     padded tail batch can be accounted exactly at serving time; its mean
     equals the model's scalar ``num_connect``.
+
+    ``apply_fn`` substitutes for ``model.apply`` (same signature) so variant
+    serving graphs — quantize.make_int8_eval_fn's interceptor-wrapped apply —
+    share this bandwidth accounting instead of copying it.
     """
     from multiagentperception_tpu.ops.comm import per_frame_links
 
+    apply = apply_fn if apply_fn is not None else model.apply
+
     def eval_fn(variables, images):
-        pred, prob, action, num_connect = model.apply(
+        pred, prob, action, num_connect = apply(
             variables, images, train=False, mo_flag=mo_flag, inference=inference
         )
         if prob.ndim == 3 and prob.shape[1] == prob.shape[2]:

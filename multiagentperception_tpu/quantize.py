@@ -236,19 +236,13 @@ def make_int8_eval_fn(model, mo_flag: bool = True,
                       act_scales: dict | None = None):
     """int8 version of export.make_eval_fn: images -> (class map, comm graph,
     per-frame bandwidth). The interceptor wraps the apply *inside* the
-    function, so any jit/export trace picks up the quantized graph."""
-    from multiagentperception_tpu.ops.comm import per_frame_links
+    function, so any jit/export trace picks up the quantized graph; the
+    bandwidth accounting is export.make_eval_fn's, not a copy."""
+    from multiagentperception_tpu.export import make_eval_fn
 
-    def eval_fn(variables, images):
-        pred, prob, action, num_connect = quantized_apply(
-            model, variables, images, train=False, mo_flag=mo_flag,
-            inference=inference, skip=skip, act_scales=act_scales,
-        )
-        if prob.ndim == 3 and prob.shape[1] == prob.shape[2]:
-            nc = per_frame_links(prob, inference, prob.shape[1],
-                                 topk_k=getattr(model, "topk_k", 2))
-        else:
-            nc = jnp.broadcast_to(num_connect, (images.shape[0],))
-        return jnp.argmax(pred, axis=-1).astype(jnp.int32), prob, nc
+    def apply(variables, images, **kwargs):
+        return quantized_apply(model, variables, images,
+                               skip=skip, act_scales=act_scales, **kwargs)
 
-    return eval_fn
+    return make_eval_fn(model, mo_flag=mo_flag, inference=inference,
+                        apply_fn=apply)

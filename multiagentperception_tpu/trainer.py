@@ -383,8 +383,12 @@ class Trainer:
             cfg = {**self.cfg, "model": {**self.cfg["model"], "remat": False}}
             model = get_model(cfg, self.n_classes)
 
-        src = calib_loader or self.trainloader or loader
-        if src is loader and calib_loader is None and self.trainloader is None:
+        # explicit None checks: an empty DataLoader is falsy (len 0), and
+        # silently swapping it for the eval loader would both leak eval data
+        # into the scales and suppress the warning below
+        src = calib_loader if calib_loader is not None else (
+            self.trainloader if self.trainloader is not None else loader)
+        if calib_loader is None and self.trainloader is None:
             self.logger.warning(
                 "int8 calibration falling back to the evaluation loader "
                 "itself; pass calib_loader (test.py --calib_split) to "
@@ -399,6 +403,10 @@ class Trainer:
                        for i in range(0, n, bs)]
         else:
             batches = [self._example_images(src)]
+        if not batches:
+            raise ValueError(
+                "int8 calibration source yielded no frames; pass a non-empty "
+                "calib_loader or train split")
 
         def prep(images):
             x = jnp.asarray(self._model_inputs(images))
@@ -645,16 +653,12 @@ class Trainer:
         # per-process path, so the stream restarts at the epoch boundary on
         # non-zero hosts (documented limitation; grain re-shards
         # deterministically).
-        if jax.process_index() != 0:
-            return os.path.join(
-                logdir,
-                f"{self.cfg['model']['arch']}_"
-                f"{self.cfg['data']['dataset']}_{name}.ckpt",
-            )
         save_path = os.path.join(
             logdir,
             f"{self.cfg['model']['arch']}_{self.cfg['data']['dataset']}_{name}.ckpt",
         )
+        if jax.process_index() != 0:
+            return save_path
         # checkpointable data stream (grain backend): the iterator position
         # is variable-length bytes; it rides through save_checkpoint's
         # crash-safe swap as a sidecar so the restored model state and data

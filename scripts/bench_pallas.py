@@ -18,8 +18,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from multiagentperception_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
 
 from multiagentperception_tpu.ops.pallas import (
     fused_comm_step,

@@ -196,6 +196,8 @@ if __name__ == "__main__":
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--root", default=None)
     p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--tradeoff", action="store_true",
+                   help="after the proof, sweep the bandwidth-vs-mIoU curve")
     a = p.parse_args()
     main(iters=a.iters, batch=a.batch, lr=a.lr,
          platform="cpu" if a.cpu else None, root=a.root, frames=a.frames)

@@ -103,6 +103,26 @@ def test_sidecar_legacy_external_format_still_reads(tmp_path):
     assert read_sidecar(path + ".new") is None
 
 
+def test_save_clears_stale_legacy_sidecar(tmp_path):
+    """A pre-r3 external '<path>.datastate' must not survive a new save with
+    sidecar=None: the checkpoint it belonged to is rotated away, and a later
+    grain-backed run would pair the fresh model with the stale position."""
+    from multiagentperception_tpu.checkpoint import read_sidecar
+
+    path = str(tmp_path / "latest.ckpt")
+    save_checkpoint(path, _state(1))
+    with open(path + ".datastate", "wb") as f:
+        f.write(b"stale-pos")
+    save_checkpoint(path, _state(2), sidecar=None)
+    assert not os.path.exists(path + ".datastate")
+    assert read_sidecar(path) is None
+    # and with a sidecar, the new save's own position wins
+    with open(path + ".datastate", "wb") as f:
+        f.write(b"stale-pos")
+    save_checkpoint(path, _state(3), sidecar=b"fresh-pos")
+    assert read_sidecar(path) == b"fresh-pos"
+
+
 @pytest.mark.slow  # full Single_agent train compile
 def test_trainer_resumes_from_crashed_swap_state(tmp_path, monkeypatch):
     """The exact observed failure: preemption mid-save left only swap-state
