@@ -76,8 +76,15 @@ def _j_in(x):
     return jnp.asarray(x.transpose(0, 1, 3, 4, 2))
 
 
-def _pair(cfg, init_args, init_kwargs):
-    """(torch_model.eval(), flax_model, converted_variables)."""
+def _pair(cfg, init_args, init_kwargs, seed=0):
+    """(torch_model.eval(), flax_model, converted_variables).
+
+    ``torch.manual_seed`` pins the reference's random init: torch otherwise
+    seeds from OS entropy at first use, and any earlier test consuming the
+    global RNG shifts every draw after it — the argmax-equality checks and
+    tight tolerances below are then at the mercy of near-tie weight draws
+    (observed: suite-order-dependent failures in the when2com modes)."""
+    torch.manual_seed(seed)
     tm = build_reference_model(cfg, 11).eval()
     jm = get_model(cfg, 11)
     template = jm.init(jax.random.PRNGKey(0), *init_args, **init_kwargs)
@@ -352,6 +359,7 @@ def test_single_agent_parity():
     rng = np.random.RandomState(4)
     x = (rng.randn(B, 3, IMG_SRMS, IMG_SRMS) * 0.5).astype(np.float32)
     xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    torch.manual_seed(0)  # order-independent weight draw (see _pair)
     tm = build_reference_model(cfg, 11).eval()
     jm = get_model(cfg, 11)
     template = jm.init(jax.random.PRNGKey(0), xj, train=False)
@@ -414,6 +422,7 @@ def test_testpy_evaluates_reference_checkpoint(tmp_path):
     }
     with open(tmp_path / "cfg.yml", "w") as f:
         yaml.safe_dump(cfg, f)
+    torch.manual_seed(0)  # order-independent weight draw (see _pair)
     tm = build_reference_model(cfg, 11)
     torch.save({"model_state": tm.state_dict()},
                str(tmp_path / "MIMOcom_airsim_best_model.pkl"))
@@ -492,6 +501,7 @@ def test_all_shipped_configs_convert_at_full_resolution():
     for path in cfgs:
         with open(path) as f:
             cfg = yaml.safe_load(f)
+        torch.manual_seed(0)  # order-independent weight draw (see _pair)
         tm = build_reference_model(cfg, 11)
         jm = get_model(cfg, 11)
         n = cfg["model"].get("agent_num") or 5
@@ -522,6 +532,7 @@ def test_single_agent_feat_squeezer_parity(squeezer):
     rng = np.random.RandomState(10 + squeezer)
     x = (rng.randn(B, 3, IMG_SRMS, IMG_SRMS) * 0.5).astype(np.float32)
     xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    torch.manual_seed(0)  # order-independent weight draw (see _pair)
     tm = build_reference_model(cfg, 11).eval()
     jm = get_model(cfg, 11)
     template = jm.init(jax.random.PRNGKey(0), xj, train=False)
@@ -540,6 +551,7 @@ def test_single_agent_nsegnet_backbones_parity():
     rng = np.random.RandomState(12)
     x = (rng.randn(B, 3, IMG_SRMS, IMG_SRMS) * 0.5).astype(np.float32)
     xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    torch.manual_seed(0)  # order-independent weight draw (see _pair)
     tm = build_reference_model(cfg, 11).eval()
     jm = get_model(cfg, 11)
     template = jm.init(jax.random.PRNGKey(0), xj, train=False)
