@@ -88,9 +88,21 @@ def _build(batch, img, agents, dtype, train=False, remat=False):
     return model, variables
 
 
-def _amortized_device_time(make_loop, run_args, k_lo, k_hi):
-    """Device seconds per step from two on-device loop lengths."""
+def _amortized_device_time(make_loop, run_args, k_lo, k_hi,
+                           compiler_options=None):
+    """Device seconds per step from two on-device loop lengths.
+
+    ``compiler_options`` (dict) is forwarded to the XLA TPU compiler via the
+    PJRT compile call — the only route in this image, whose client-side
+    XLA_FLAGS parser rejects TPU backend flags (the compiler runs on the far
+    side of the tunnel and validates the options there)."""
     import jax
+
+    def prep(loop):
+        if compiler_options:  # AOT-compile once; run() is called twice
+            return loop.lower(*run_args).compile(
+                compiler_options=compiler_options)
+        return loop
 
     def run(loop):
         h = loop(*run_args)
@@ -100,14 +112,14 @@ def _amortized_device_time(make_loop, run_args, k_lo, k_hi):
         np.asarray(jax.tree_util.tree_leaves(h)[0])
         return time.time() - t0
 
-    lo, hi = make_loop(k_lo), make_loop(k_hi)
+    lo, hi = prep(make_loop(k_lo)), prep(make_loop(k_hi))
     t_lo = min(run(lo), run(lo))
     t_hi = min(run(hi), run(hi))
     return (t_hi - t_lo) / (k_hi - k_lo)
 
 
 def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True,
-               int8=False):
+               int8=False, compiler_options=None):
     """Returns (frames_per_sec, step_seconds, xla_flops_per_step|None).
 
     ``int8=True`` measures the post-training-quantized serving path
@@ -168,7 +180,8 @@ def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True,
 
         return loop
 
-    dt = _amortized_device_time(make_loop, (variables, xs, ys), k_lo, k_hi)
+    dt = _amortized_device_time(make_loop, (variables, xs, ys), k_lo, k_hi,
+                                compiler_options=compiler_options)
 
     flops = None
     try:
@@ -183,7 +196,7 @@ def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True,
 
 
 def bench_train(batch=20, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True,
-                remat=False):
+                remat=False, compiler_options=None):
     """Full train step (fwd + BN + bwd + adam). Returns (fps, step_seconds)."""
     import jax
     import jax.numpy as jnp
@@ -235,8 +248,20 @@ def bench_train(batch=20, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True,
         return loop
 
     dt = _amortized_device_time(
-        make_loop, (params, batch_stats, opt_state, xs, ys), k_lo, k_hi)
-    return batch * agents / dt, dt
+        make_loop, (params, batch_stats, opt_state, xs, ys), k_lo, k_hi,
+        compiler_options=compiler_options)
+
+    flops = None
+    try:  # XLA-counted FLOPs of the 1-step loop ≈ one train step (fwd+bwd+adam)
+        cost = make_loop(1).lower(
+            params, batch_stats, opt_state, xs, ys).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:  # cost analysis is best-effort
+        pass
+
+    return batch * agents / dt, dt, flops
 
 
 def bench_eval_dispatch(batch=16, img=512, agents=6, iters=10, use_bf16=True):
@@ -297,7 +322,7 @@ def sweep_train(configs=((2, False), (4, False), (8, False), (16, False),
                          (8, True), (16, True))):
     for b, remat in configs:
         try:
-            fps, dt = bench_train(batch=b, remat=remat)
+            fps, dt, _ = bench_train(batch=b, remat=remat)
             print(f"train batch={b:3d} remat={int(remat)}  "
                   f"step={dt * 1000:8.2f} ms  fps={fps:7.1f}", file=sys.stderr)
         except Exception as e:
@@ -360,10 +385,14 @@ def main():
         print(f"int8 bench failed ({e!r}); bf16-only result", file=sys.stderr)
 
     try:
-        train_fps, train_dt = bench_train()
+        train_fps, train_dt, train_flops = bench_train()
         extra["train_frames_per_sec"] = round(train_fps, 2)
         extra["train_step_ms"] = round(train_dt * 1000, 2)
         extra["train_batch"] = 20
+        if train_flops and peak:
+            extra["train_xla_tflops_per_step"] = round(train_flops / 1e12, 2)
+            extra["train_mfu_pct"] = round(
+                train_flops / train_dt / peak * 100, 1)
     except Exception as e:
         print(f"train bench failed ({e!r}); eval-only result", file=sys.stderr)
 

@@ -10,5 +10,5 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import bench_train  # noqa: E402
 
 if __name__ == "__main__":
-    fps, dt = bench_train()
+    fps, dt, _ = bench_train()
     print(f"train step: {dt * 1000:.1f} ms -> {fps:.1f} frames/sec")
