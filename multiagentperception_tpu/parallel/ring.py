@@ -63,7 +63,7 @@ def ring_fuse_values(coef_local: jnp.ndarray, vals_local: jnp.ndarray,
     acc0 = jnp.zeros((b, q_local, m), vals_local.dtype)
     # the carry must be 'varying' over the manual axis like the rotating
     # value shard, or the fori_loop carry types mismatch under shard_map
-    acc0 = jax.lax.pvary(acc0, (axis_name,))
+    acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
     acc, _ = jax.lax.fori_loop(0, s, body, (acc0, vals_local))
     return acc
 
