@@ -45,6 +45,16 @@ from multiagentperception_tpu.utils import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
 
+# MAP_PLATFORM overrides the JAX platform in-process, same as the CLIs
+# (this image's sitecustomize rewrites JAX_PLATFORMS, so the env var alone
+# cannot force CPU in subprocesses).
+import os  # noqa: E402
+
+if os.environ.get("MAP_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["MAP_PLATFORM"])
+
 # torch-cpu reference measurement (scripts/measure_reference_baseline.py on
 # this host): 15378.6 ms/step at batch=2 -> 0.780 frames/sec.
 TORCH_CPU_BASELINE_FPS = 0.780
@@ -358,8 +368,14 @@ def main():
     # 20 -> 2603 f/s @ 55% MFU; 22-28 is a ~40% MFU cliff; 40 matches 20's
     # throughput at 2x the latency/memory)
     eval_batch = 20
+    shape = {}
+    train_kw = {}
+    if "--tiny" in sys.argv:  # CI hook: same code paths at toy shapes
+        eval_batch = 1
+        shape = dict(img=64, agents=2, k_lo=1, k_hi=2)
+        train_kw = dict(batch=1, **shape)
     try:
-        fps, dt, flops = bench_eval(batch=eval_batch)
+        fps, dt, flops = bench_eval(batch=eval_batch, **shape)
     except Exception as e:  # remote-compile flake: degrade, don't die
         print(f"on-device-loop bench failed ({e!r}); falling back to "
               f"per-dispatch timing (RTT-inclusive, under-reports)",
@@ -377,7 +393,7 @@ def main():
             extra["eval_mfu_pct"] = round(flops / dt / peak * 100, 1)
 
     try:
-        i8_fps, i8_dt, _ = bench_eval(batch=eval_batch, int8=True)
+        i8_fps, i8_dt, _ = bench_eval(batch=eval_batch, int8=True, **shape)
         extra["eval_int8_frames_per_sec"] = round(i8_fps, 2)
         extra["eval_int8_step_ms"] = round(i8_dt * 1000, 2)
         extra["eval_int8_speedup"] = round(i8_fps / fps, 2)
@@ -385,10 +401,10 @@ def main():
         print(f"int8 bench failed ({e!r}); bf16-only result", file=sys.stderr)
 
     try:
-        train_fps, train_dt, train_flops = bench_train()
+        train_fps, train_dt, train_flops = bench_train(**train_kw)
         extra["train_frames_per_sec"] = round(train_fps, 2)
         extra["train_step_ms"] = round(train_dt * 1000, 2)
-        extra["train_batch"] = 20
+        extra["train_batch"] = train_kw.get("batch", 20)
         if train_flops and peak:
             extra["train_xla_tflops_per_step"] = round(train_flops / 1e12, 2)
             extra["train_mfu_pct"] = round(

@@ -1,0 +1,68 @@
+"""Regression tests for the driver-facing bench harness (bench.py).
+
+The driver runs ``python bench.py`` at the end of every round and records
+the single JSON line it prints; if the harness breaks, the round's
+benchmark result is silently lost. These tests run the same code paths at
+toy shapes on CPU so a refactor that breaks model build, the fori-loop
+timing structure, the quantized path, or the FLOPs accounting fails the
+suite instead of the round.
+
+Matches the reference's emitted metrics: Time/Image (trainer.py:675-688)
+for train, the eval loop (trainer.py:774-840) for eval.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+TINY = dict(batch=1, img=64, agents=2, k_lo=1, k_hi=2)
+
+
+@pytest.mark.slow
+def test_bench_eval_tiny():
+    fps, dt, flops = bench.bench_eval(use_bf16=True, **TINY)
+    assert fps > 0 and dt > 0
+    # XLA cost analysis must report real work for the MFU line: two agents
+    # of ResNet-18 at 64x64 is > 1 GFLOP by any counting.
+    assert flops is None or flops > 1e9
+
+
+@pytest.mark.slow
+def test_bench_eval_int8_tiny():
+    fps, dt, _ = bench.bench_eval(use_bf16=True, int8=True, **TINY)
+    assert fps > 0 and dt > 0
+
+
+@pytest.mark.slow
+def test_bench_train_tiny():
+    fps, dt, flops = bench.bench_train(use_bf16=True, **TINY)
+    assert fps > 0 and dt > 0
+    # train FLOPs (fwd+bwd+adam) must exceed the eval-step FLOPs
+    _, _, eval_flops = bench.bench_eval(use_bf16=True, **TINY)
+    if flops is not None and eval_flops is not None:
+        assert flops > eval_flops
+
+
+@pytest.mark.slow
+def test_bench_main_json_contract():
+    """End-to-end: `python bench.py` prints exactly one JSON line on stdout
+    with the driver-contract fields, at toy shapes via the test hook."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--tiny"],
+        capture_output=True, text=True, timeout=1200, cwd=repo,
+        env=dict(os.environ, MAP_PLATFORM="cpu"),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got: {out.stdout!r}"
+    rec = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in rec
+    assert rec["value"] > 0
