@@ -129,8 +129,12 @@ def _amortized_device_time(make_loop, run_args, k_lo, k_hi,
 
 
 def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True,
-               int8=False, compiler_options=None):
+               int8=False, compiler_options=None, count_flops=True):
     """Returns (frames_per_sec, step_seconds, xla_flops_per_step|None).
+
+    ``count_flops=False`` skips the extra cost-analysis compile (an entire
+    second program) — sweeps that discard the FLOPs number should pass it,
+    especially with the persistent compile cache disabled.
 
     ``int8=True`` measures the post-training-quantized serving path
     (multiagentperception_tpu/quantize.py): every conv tower runs int8 on the
@@ -194,19 +198,21 @@ def bench_eval(batch=16, img=512, agents=6, k_lo=2, k_hi=12, use_bf16=True,
                                 compiler_options=compiler_options)
 
     flops = None
-    try:
-        cost = jax.jit(eval_step).lower(variables, xs, ys).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
-    except Exception:  # cost analysis is best-effort
-        pass
+    if count_flops:
+        try:
+            cost = jax.jit(eval_step).lower(
+                variables, xs, ys).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:  # cost analysis is best-effort
+            pass
 
     return batch * agents / dt, dt, flops
 
 
 def bench_train(batch=20, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True,
-                remat=False, compiler_options=None):
+                remat=False, compiler_options=None, count_flops=True):
     """Full train step (fwd + BN + bwd + adam). Returns (fps, step_seconds)."""
     import jax
     import jax.numpy as jnp
@@ -262,14 +268,15 @@ def bench_train(batch=20, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True,
         compiler_options=compiler_options)
 
     flops = None
-    try:  # XLA-counted FLOPs of the 1-step loop ≈ one train step (fwd+bwd+adam)
-        cost = make_loop(1).lower(
-            params, batch_stats, opt_state, xs, ys).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
-    except Exception:  # cost analysis is best-effort
-        pass
+    if count_flops:
+        try:  # XLA FLOPs of the 1-step loop ≈ one train step (fwd+bwd+adam)
+            cost = make_loop(1).lower(
+                params, batch_stats, opt_state, xs, ys).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:  # cost analysis is best-effort
+            pass
 
     return batch * agents / dt, dt, flops
 
@@ -380,7 +387,8 @@ def main():
         print(f"on-device-loop bench failed ({e!r}); falling back to "
               f"per-dispatch timing (RTT-inclusive, under-reports)",
               file=sys.stderr)
-        fps, dt, flops = bench_eval_dispatch(batch=eval_batch)
+        dispatch_shape = {k: shape[k] for k in ("img", "agents") if k in shape}
+        fps, dt, flops = bench_eval_dispatch(batch=eval_batch, **dispatch_shape)
 
     extra = {"eval_step_ms": round(dt * 1000, 2), "eval_batch": eval_batch}
 

@@ -38,9 +38,11 @@ def main():
         label = f"scoped_vmem={v}kib" if v else "(default)"
         try:
             eval_fps, eval_dt, _ = bench.bench_eval(
-                batch=20, k_lo=2, k_hi=6, compiler_options=opts)
+                batch=20, k_lo=2, k_hi=6, compiler_options=opts,
+                count_flops=False)
             train_fps, train_dt, _ = bench.bench_train(
-                batch=20, k_lo=1, k_hi=4, compiler_options=opts)
+                batch=20, k_lo=1, k_hi=4, compiler_options=opts,
+                count_flops=False)
             row = {"option": label,
                    "eval_ms": round(eval_dt * 1e3, 2),
                    "train_ms": round(train_dt * 1e3, 2),

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(iters=400, batch=4, img=128, lr=1e-4, platform=None, root=None,
-         val_interval=None, frames=32):
+         val_interval=None, frames=32, tradeoff=False):
     if platform:
         import jax
 
@@ -93,7 +93,7 @@ def main(iters=400, batch=4, img=128, lr=1e-4, platform=None, root=None,
     miou_int8 = int8_miou(trainer, model, evalloader)
     print(f"train-set mIoU, int8-quantized serving path: {miou_int8:.4f} "
           f"(delta {miou_int8 - miou:+.4f})")
-    if "--tradeoff" in sys.argv:
+    if tradeoff:
         tradeoff_curve(trainer, cfg, evalloader)
     return miou, when_acc, who_acc, miou_int8
 
@@ -200,4 +200,5 @@ if __name__ == "__main__":
                    help="after the proof, sweep the bandwidth-vs-mIoU curve")
     a = p.parse_args()
     main(iters=a.iters, batch=a.batch, lr=a.lr,
-         platform="cpu" if a.cpu else None, root=a.root, frames=a.frames)
+         platform="cpu" if a.cpu else None, root=a.root, frames=a.frames,
+         tradeoff=a.tradeoff)
