@@ -62,8 +62,9 @@ def _spec_for_param(path: tuple, value) -> P:
 
 
 def param_shardings(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
-    """NamedShardings for a parameter PyTree under the (data, model) mesh."""
-    n_model = mesh.shape["model"]
+    """NamedShardings for a parameter PyTree under the (data, model) mesh.
+    Meshes without a 'model' axis (e.g. ('data', 'agent')) replicate."""
+    n_model = mesh.shape.get("model", 1)
 
     def rule(path, value):
         if n_model == 1:
@@ -77,10 +78,14 @@ def param_shardings(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def agent_parallel_mesh(cfg, n_cli: int = 0):
+def agent_parallel_mesh(cfg, n_cli: int = 0, n_data: int = 0):
     """The CLI policy for ``model.agent_parallel`` / ``--agent_parallel``:
     a 1-D ('agent',) mesh routing MIMOcom's eval fusion through the ICI ring
     (parallel/ring.py). Returns None when not requested.
+
+    ``n_data > 1`` combines the ring with batch data-parallelism: a 2-D
+    ('data', 'agent') mesh where each data-row runs an independent ring over
+    its agent shards (eval-only, like the ring itself).
 
     The agent count must divide evenly over the requested devices (each
     device holds agent_num/n value shards and rotates them)."""
@@ -89,14 +94,19 @@ def agent_parallel_mesh(cfg, n_cli: int = 0):
     n = int(n_cli or cfg["model"].get("agent_parallel") or 0)
     if n <= 1:
         return None
+    d = max(1, int(n_data))
     agent_num = int(cfg["model"].get("agent_num") or 5)
-    if len(jax.devices()) < n:
+    if len(jax.devices()) < n * d:
         raise ValueError(
-            f"--agent_parallel {n} needs {n} devices, have {len(jax.devices())}")
+            f"--agent_parallel {n} x --data_parallel {d} needs {n * d} "
+            f"devices, have {len(jax.devices())}")
     if agent_num % n:
         raise ValueError(
             f"agent_num {agent_num} not divisible by agent_parallel {n}")
-    return Mesh(np.asarray(jax.devices()[:n]), ("agent",))
+    if d == 1:
+        return Mesh(np.asarray(jax.devices()[:n]), ("agent",))
+    return Mesh(np.asarray(jax.devices()[:n * d]).reshape(d, n),
+                ("data", "agent"))
 
 
 def data_parallel_mesh(batch_size: int, n_dp: int = 0):

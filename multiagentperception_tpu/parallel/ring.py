@@ -61,9 +61,11 @@ def ring_fuse_values(coef_local: jnp.ndarray, vals_local: jnp.ndarray,
         return acc, v
 
     acc0 = jnp.zeros((b, q_local, m), vals_local.dtype)
-    # the carry must be 'varying' over the manual axis like the rotating
-    # value shard, or the fori_loop carry types mismatch under shard_map
-    acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
+    # the carry must be 'varying' over the same manual axes as the rotating
+    # value shard (all mesh axes it is sharded over — e.g. {data, agent} on
+    # a combined mesh), or the fori_loop carry types mismatch under shard_map
+    vma = tuple(getattr(vals_local.aval, "vma", None) or (axis_name,))
+    acc0 = jax.lax.pcast(acc0, vma, to="varying")
     acc, _ = jax.lax.fori_loop(0, s, body, (acc0, vals_local))
     return acc
 
@@ -122,11 +124,19 @@ def sharded_comm_step(
     """
     body = functools.partial(_local_comm, axis=axis, mode=mode,
                              diag_bias=diag_bias, thres=thres)
+    # with a combined ('data', 'agent') mesh the batch dim shards over
+    # 'data' — each data-row runs its own independent ring (the agent
+    # collectives operate within a row of the mesh). Indivisible batches
+    # (the loader's tail) replicate over 'data' instead: the spec is a
+    # trace-time structural constraint, unlike the trainer's per-batch
+    # placement fallback.
+    batch = ("data" if "data" in mesh.axis_names
+             and query_proj.shape[0] % mesh.shape["data"] == 0 else None)
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None),
-                  P(None, axis, None, None, None)),
-        out_specs=(P(None, axis, None, None, None),
-                   P(None, None, axis), P(None, None, axis)),
+        in_specs=(P(batch, axis, None), P(batch, axis, None),
+                  P(batch, axis, None, None, None)),
+        out_specs=(P(batch, axis, None, None, None),
+                   P(batch, None, axis), P(batch, None, axis)),
     )
     return f(query_proj, keys, vals)

@@ -98,17 +98,23 @@ def main():
         data_parallel_mesh,
     )
 
-    # agent-axis model parallelism (MIMOcom ring fusion over ICI)
-    a_mesh = agent_parallel_mesh(cfg, args.agent_parallel)
+    # agent-axis model parallelism (MIMOcom ring fusion over ICI); with
+    # --data_parallel D too, a combined ('data', 'agent') mesh shards eval
+    # batches over D independent rings
+    a_mesh = agent_parallel_mesh(cfg, args.agent_parallel,
+                                 n_data=args.data_parallel)
     model = get_model(cfg, n_classes=11, agent_mesh=a_mesh)
     tx = get_optimizer(cfg)
     loss_fn = get_loss_function(cfg)
     logger = logging.getLogger("multiagentperception_tpu")
 
-    # sharded eval (same device-selection policy as train.py); the agent
-    # ring owns its devices — don't also batch-shard over them
-    mesh = None if a_mesh is not None else data_parallel_mesh(
-        cfg["training"]["batch_size"], args.data_parallel)
+    # sharded eval (same device-selection policy as train.py); a pure agent
+    # ring owns its devices — only a combined mesh also batch-shards
+    if a_mesh is not None:
+        mesh = a_mesh if "data" in a_mesh.axis_names else None
+    else:
+        mesh = data_parallel_mesh(
+            cfg["training"]["batch_size"], args.data_parallel)
 
     trainer_cls = get_trainer(cfg)
     trainer = trainer_cls(

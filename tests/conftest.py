@@ -10,9 +10,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's collective rendezvous ABORTS the process ("Exiting to ensure a
+# consistent program state", rendezvous.cc) when participant threads are
+# starved past its terminate timeout — on this 1-core host a GC pause or a
+# concurrent compile can starve an 8-thread collective that long, which
+# intermittently killed full-suite runs with SIGABRT. Give it 10 minutes.
+if "collective_call_terminate_timeout" not in flags:
+    flags = (flags +
+             " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -106,3 +106,50 @@ def test_values_stay_sharded(mesh, qkv):
     fused, _, _ = sharded_comm_step(q, k, v, mesh, mode="softmax")
     spec = fused.sharding.spec
     assert spec[1] == "agent", spec
+
+
+@pytest.mark.parametrize("mode", ["softmax", "activated", "argmax"])
+def test_combined_data_agent_mesh(rng, mode):
+    """('data', 'agent') mesh: the batch shards over 2 independent 4-agent
+    rings, reproducing the dense semantics for every mode (the product path
+    of `test.py --agent_parallel 4 --data_parallel 2`)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                 ("data", "agent"))
+    n = 4
+    q = jnp.asarray(rng.normal(size=(B, n, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, n, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, n, H, W, C)), jnp.float32)
+    fused, coef, soft = sharded_comm_step(
+        q, k, v, mesh2, mode=mode, diag_bias=0.001)
+    ref_fused, _ = fused_comm_step_reference(
+        q, k, v, mode=mode, diag_bias=0.0 if mode == "softmax" else 0.001)
+    _, ref_coef = fused_comm_step_reference(q, k, v, mode=mode,
+                                            diag_bias=0.001)
+    np.testing.assert_allclose(np.asarray(coef), np.asarray(ref_coef),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref_fused),
+                               rtol=1e-4, atol=1e-5)
+    # batch stays sharded over 'data', values over 'agent'
+    spec = fused.sharding.spec
+    assert spec[0] == "data" and spec[1] == "agent", spec
+
+
+def test_combined_mesh_indivisible_tail_batch(rng):
+    """A loader tail batch that doesn't divide the data axis replicates
+    over 'data' instead of tripping the trace-time shard_map spec check."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                 ("data", "agent"))
+    n, b = 4, 3  # 3 % 2 != 0
+    q = jnp.asarray(rng.normal(size=(b, n, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, H, W, C)), jnp.float32)
+    fused, coef, _ = sharded_comm_step(q, k, v, mesh2, mode="activated",
+                                       diag_bias=0.001)
+    ref_fused, _ = fused_comm_step_reference(q, k, v, mode="activated",
+                                             diag_bias=0.001)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref_fused),
+                               rtol=1e-4, atol=1e-5)
