@@ -74,7 +74,7 @@ _TRAINING_DEFAULTS: dict[str, Any] = {
 # would otherwise silently no-op it (e.g. 'freez_bn_stats').
 _EXTENSION_KEYS: dict[str, set] = {
     "model": {"dtype", "remat", "pallas_comm", "topk_k",
-              "eval_inference", "agent_parallel"},
+              "eval_inference", "agent_parallel", "agent_parallel_train"},
     "data": {"on_device_normalize", "cache_decoded"},
     # 'augmentations' is a REFERENCE schema key read from training
     # (reference train.py:137; ours train.py:91), not an extension — but it

@@ -94,6 +94,9 @@ def get_model(cfg: Mapping[str, Any], n_classes: int, agent_mesh=None):
             comm["topk_k"] = int(m["topk_k"])
         if agent_mesh is not None:
             comm["agent_mesh"] = agent_mesh
+            # model.agent_parallel_train: differentiate through the ring —
+            # the TRAIN step's softmax fusion also runs agent-sharded
+            comm["ring_train"] = bool(m.get("agent_parallel_train"))
     elif agent_mesh is not None:
         raise ValueError(
             f"agent-axis parallelism is a MIMOcom feature (arch {name!r})")

@@ -382,6 +382,9 @@ class MIMOcom(nn.Module):
     dtype: Any = None
     use_pallas_comm: bool = False
     agent_mesh: Any = None  # Mesh with an 'agent' axis: ring-fused comm
+    ring_train: bool = False  # differentiate through the ring: the TRAIN
+    # step's softmax fusion also runs agent-sharded (config
+    # model.agent_parallel_train; equivalence vs dense in tests/test_ring.py)
     remat: bool = False  # rematerialize the two encoder towers (trade FLOPs
     # for activation memory on large batches; jax.checkpoint semantics)
 
@@ -430,14 +433,20 @@ class MIMOcom(nn.Module):
                              self.dec_backbone, dtype=self.dtype)
         mo = query_mat.shape[1] == n
 
-        # Agent-sharded ring path for large N (eval; full graph required):
-        # values stay sharded over the 'agent' mesh axis, fusion rotates
-        # shards over ICI (parallel/ring.py).
+        # Agent-sharded ring path for large N (full graph required): values
+        # stay sharded over the 'agent' mesh axis, fusion rotates shards
+        # over ICI (parallel/ring.py). Eval covers the three full-graph
+        # modes; with ring_train the TRAIN forward's softmax fusion also
+        # runs here — jax differentiates the shard_map ring (the transposed
+        # program is the reverse ring), so value_and_grad works through it.
         if (
             self.agent_mesh is not None
-            and not train
             and mo
-            and inference in ("softmax", "argmax_test", "activated")
+            and (
+                (not train
+                 and inference in ("softmax", "argmax_test", "activated"))
+                or (train and self.ring_train and inference == "softmax")
+            )
         ):
             from multiagentperception_tpu.parallel.ring import sharded_comm_step
 

@@ -85,6 +85,59 @@ def test_mimocom_agent_mesh_e2e(mesh, rng, inference):
     np.testing.assert_allclose(np.float32(r[3]), np.float32(d[3]), atol=1e-6)
 
 
+@pytest.mark.slow
+def test_ring_training_equivalence(mesh, rng):
+    """ring_train (model.agent_parallel_train): one full train-style
+    value_and_grad through the agent-sharded ring — loss AND parameter
+    gradients must match the dense program (sharding is a placement
+    annotation; the shard_map ring's transpose is the reverse ring)."""
+    import jax.numpy as jnp2
+    import optax
+
+    from multiagentperception_tpu.loss import cross_entropy2d
+    from multiagentperception_tpu.models.agents import MIMOcom
+
+    kw = dict(agent_num=N, query_size=4, key_size=16, n_classes=11)
+    dense = MIMOcom(**kw)
+    ringed = MIMOcom(agent_mesh=mesh, ring_train=True, **kw)
+    x = jnp2.asarray(rng.normal(size=(1, N, 64, 64, 3)), jnp2.float32)
+    y = jnp2.asarray(rng.integers(0, 11, size=(N, 64, 64)), jnp2.int32)
+    variables = dense.init(jax.random.PRNGKey(0), x, train=True,
+                           mo_flag=True, inference="softmax")
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def loss_fn(model):
+        def f(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": stats}, x, train=True,
+                mo_flag=True, inference="softmax", mutable=["batch_stats"])
+            return cross_entropy2d(out[0], y), upd["batch_stats"]
+        return f
+
+    (ld, sd), gd = jax.value_and_grad(loss_fn(dense), has_aux=True)(params)
+    (lr_, sr), gr = jax.value_and_grad(loss_fn(ringed), has_aux=True)(params)
+    np.testing.assert_allclose(float(lr_), float(ld), rtol=2e-5)
+    # gradients: same tree, every tensor close (f32 conv-chain noise only)
+    flat_d, tree_d = jax.tree_util.tree_flatten(gd)
+    flat_r, tree_r = jax.tree_util.tree_flatten(gr)
+    assert tree_d == tree_r
+    for a, b in zip(flat_r, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-5)
+    # BN stats advanced identically
+    for a, b in zip(jax.tree_util.tree_leaves(sr),
+                    jax.tree_util.tree_leaves(sd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # one adam step stays in lockstep
+    tx = optax.adam(1e-3)
+    pd = optax.apply_updates(params, tx.update(gd, tx.init(params), params)[0])
+    pr = optax.apply_updates(params, tx.update(gr, tx.init(params), params)[0])
+    for a, b in zip(jax.tree_util.tree_leaves(pr),
+                    jax.tree_util.tree_leaves(pd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def test_soft_graph_is_premask(mesh, qkv):
     q, k, v = qkv
     _, coef, soft = sharded_comm_step(q, k, v, mesh, mode="activated",

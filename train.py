@@ -134,7 +134,9 @@ def main():
 
         # model + services. model.agent_parallel (config-only here) routes
         # MIMOcom's eval/validation fusion through the agent-axis ICI ring;
-        # the training forward stays on the dense path (ring is eval-only)
+        # the training forward stays dense unless model.agent_parallel_train
+        # also differentiates through the ring (grad == dense,
+        # tests/test_ring.py::test_ring_training_equivalence)
         from multiagentperception_tpu.parallel import agent_parallel_mesh
 
         a_mesh = agent_parallel_mesh(cfg)
