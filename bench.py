@@ -45,15 +45,9 @@ from multiagentperception_tpu.utils import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
 
-# MAP_PLATFORM overrides the JAX platform in-process, same as the CLIs
-# (this image's sitecustomize rewrites JAX_PLATFORMS, so the env var alone
-# cannot force CPU in subprocesses).
-import os  # noqa: E402
+from multiagentperception_tpu.utils import apply_platform_override  # noqa: E402
 
-if os.environ.get("MAP_PLATFORM"):
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["MAP_PLATFORM"])
+apply_platform_override()
 
 # torch-cpu reference measurement (scripts/measure_reference_baseline.py on
 # this host): 15378.6 ms/step at batch=2 -> 0.780 frames/sec.
@@ -269,12 +263,18 @@ def bench_train(batch=20, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True,
 
     flops = None
     if count_flops:
-        try:  # XLA FLOPs of the 1-step loop ≈ one train step (fwd+bwd+adam)
-            cost = make_loop(1).lower(
+        try:
+            # XLA FLOPs of the k_lo loop / k_lo ≈ one train step
+            # (fwd+bwd+adam; the carry-fold adds O(bytes) noise). Lowering
+            # the SAME program as the timing loop makes the compile a
+            # persistent-cache hit instead of a fresh full-model compile.
+            cost = make_loop(k_lo).lower(
                 params, batch_stats, opt_state, xs, ys).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             flops = float(cost.get("flops", 0.0)) or None
+            if flops:
+                flops /= k_lo
         except Exception:  # cost analysis is best-effort
             pass
 

@@ -97,6 +97,11 @@ def get_model(cfg: Mapping[str, Any], n_classes: int, agent_mesh=None):
             # model.agent_parallel_train: differentiate through the ring —
             # the TRAIN step's softmax fusion also runs agent-sharded
             comm["ring_train"] = bool(m.get("agent_parallel_train"))
+        elif m.get("agent_parallel_train"):
+            raise ValueError(
+                "model.agent_parallel_train requires model.agent_parallel "
+                "(no agent mesh was built — training would silently run "
+                "dense)")
     elif agent_mesh is not None:
         raise ValueError(
             f"agent-axis parallelism is a MIMOcom feature (arch {name!r})")

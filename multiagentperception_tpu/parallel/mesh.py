@@ -85,7 +85,8 @@ def agent_parallel_mesh(cfg, n_cli: int = 0, n_data: int = 0):
 
     ``n_data > 1`` combines the ring with batch data-parallelism: a 2-D
     ('data', 'agent') mesh where each data-row runs an independent ring over
-    its agent shards (eval-only, like the ring itself).
+    its agent shards. The ring serves eval by default;
+    ``model.agent_parallel_train`` also differentiates through it.
 
     The agent count must divide evenly over the requested devices (each
     device holds agent_num/n value shards and rotates them)."""
@@ -103,6 +104,12 @@ def agent_parallel_mesh(cfg, n_cli: int = 0, n_data: int = 0):
     if agent_num % n:
         raise ValueError(
             f"agent_num {agent_num} not divisible by agent_parallel {n}")
+    batch = cfg.get("training", {}).get("batch_size")
+    if d > 1 and batch and batch % d:
+        # same contract as data_parallel_mesh: an indivisible explicit
+        # request is an error, not D-1 silently idle data rows
+        raise ValueError(
+            f"batch_size {batch} not divisible by --data_parallel {d}")
     if d == 1:
         return Mesh(np.asarray(jax.devices()[:n]), ("agent",))
     return Mesh(np.asarray(jax.devices()[:n * d]).reshape(d, n),

@@ -65,7 +65,10 @@ def ring_fuse_values(coef_local: jnp.ndarray, vals_local: jnp.ndarray,
     # value shard (all mesh axes it is sharded over — e.g. {data, agent} on
     # a combined mesh), or the fori_loop carry types mismatch under shard_map
     vma = tuple(getattr(vals_local.aval, "vma", None) or (axis_name,))
-    acc0 = jax.lax.pcast(acc0, vma, to="varying")
+    if hasattr(jax.lax, "pcast"):
+        acc0 = jax.lax.pcast(acc0, vma, to="varying")
+    else:  # pragma: no cover — pre-pcast jax (matches the shard_map fallback)
+        acc0 = jax.lax.pvary(acc0, vma)
     acc, _ = jax.lax.fori_loop(0, s, body, (acc0, vals_local))
     return acc
 

@@ -224,8 +224,9 @@ class Trainer:
         # torch's model.eval()-during-fine-tune idiom, and measured 12%
         # faster per step (BASELINE.md train ablation: the stat math costs
         # ~23 ms of the 198 ms step at batch 20). bn_train=False freezes ONLY
-        # BatchNorm; the forward stays on the training branch (eval-only
-        # routes like the sharded ring fusion never see gradients)
+        # BatchNorm; the forward stays on the training branch (path
+        # selection — dense vs ring — is governed by train/ring_train, not
+        # by the BN mode)
         freeze_bn = bool(self.cfg["training"].get("freeze_bn_stats"))
         kw = self._apply_kwargs(True)
         if freeze_bn:

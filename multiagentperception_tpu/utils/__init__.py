@@ -20,5 +20,17 @@ def enable_compile_cache(path: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def apply_platform_override() -> None:
+    """Honor ``MAP_PLATFORM=<cpu|tpu>`` with an in-process
+    ``jax_platforms`` update — this image's sitecustomize rewrites the
+    JAX_PLATFORMS env var, so the env var alone cannot force a platform in
+    subprocesses. Must run before any backend initialization. One
+    implementation for every CLI/bench entry point."""
+    if os.environ.get("MAP_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MAP_PLATFORM"])
+
+
 __all__ = ["init_variables", "get_logger", "convert_state_dict",
-           "enable_compile_cache"]
+           "enable_compile_cache", "apply_platform_override"]

@@ -21,6 +21,7 @@ compiled programs. Run alone — CPU/TPU contention pollutes the numbers.
 
 import json
 import os
+import signal
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -31,11 +32,17 @@ import bench  # noqa: E402
 SWEEP = [None, "16384", "32768", "65536", "98304"]
 
 
+def _alarm(_sig, _frm):
+    raise TimeoutError("sweep point exceeded 1800 s (remote-compile hang?)")
+
+
 def main():
+    signal.signal(signal.SIGALRM, _alarm)
     rows = []
     for v in SWEEP:
         opts = {"xla_tpu_scoped_vmem_limit_kib": v} if v else None
         label = f"scoped_vmem={v}kib" if v else "(default)"
+        signal.alarm(1800)  # bound each point like the old subprocess driver
         try:
             eval_fps, eval_dt, _ = bench.bench_eval(
                 batch=20, k_lo=2, k_hi=6, compiler_options=opts,
@@ -48,8 +55,10 @@ def main():
                    "train_ms": round(train_dt * 1e3, 2),
                    "eval_fps": round(eval_fps, 1),
                    "train_fps": round(train_fps, 1)}
-        except Exception as e:  # an option the server rejects → record, go on
+        except Exception as e:  # rejected option / timeout → record, go on
             row = {"option": label, "error": f"{type(e).__name__}: {e}"[:300]}
+        finally:
+            signal.alarm(0)
         rows.append(row)
         print(f"{label:>22s}  train {row.get('train_ms', 'ERR'):>7} ms  "
               f"eval {row.get('eval_ms', 'ERR'):>6} ms", flush=True)

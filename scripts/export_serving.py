@@ -46,21 +46,17 @@ def main():
 
     cfg = load_config(args.config)
 
-    import os
+    # without the platform override, a CPU session would export a
+    # tpu-platform artifact that serve.py then cannot run
+    from multiagentperception_tpu.utils import (
+        apply_platform_override,
+        enable_compile_cache,
+    )
 
-    import jax
-
-    # MAP_PLATFORM overrides the JAX platform in-process, same as the
-    # train/test/serve CLIs (the image's sitecustomize rewrites
-    # JAX_PLATFORMS) — without this, a CPU session exports a tpu-platform
-    # artifact that serve.py then cannot run
-    if os.environ.get("MAP_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["MAP_PLATFORM"])
-
-    from multiagentperception_tpu.utils import enable_compile_cache
-
+    apply_platform_override()
     enable_compile_cache()
 
+    import jax
     import jax.numpy as jnp
 
     from multiagentperception_tpu.checkpoint import load_checkpoint

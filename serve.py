@@ -33,15 +33,12 @@ def main():
                    help="serve at most N frames")
     args = p.parse_args()
 
-    import jax
+    from multiagentperception_tpu.utils import (
+        apply_platform_override,
+        enable_compile_cache,
+    )
 
-    # MAP_PLATFORM overrides the JAX platform in-process (this image's
-    # sitecustomize rewrites JAX_PLATFORMS; same hook as train.py/test.py)
-    if os.environ.get("MAP_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["MAP_PLATFORM"])
-
-    from multiagentperception_tpu.utils import enable_compile_cache
-
+    apply_platform_override()
     enable_compile_cache()
 
     import numpy as np

@@ -138,6 +138,32 @@ def test_ring_training_equivalence(mesh, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+def test_ring_train_without_mesh_is_an_error():
+    """model.agent_parallel_train without an agent mesh must raise instead
+    of silently training dense."""
+    from multiagentperception_tpu.config import normalize_config
+    from multiagentperception_tpu.models import get_model
+
+    cfg = normalize_config({
+        "model": {"arch": "MIMOcom", "agent_num": 4, "query_size": 8,
+                  "key_size": 32, "agent_parallel_train": True},
+        "data": {"img_rows": 64, "img_cols": 64},
+    })
+    with pytest.raises(ValueError, match="agent_parallel_train"):
+        get_model(cfg, 11)  # no agent_mesh built
+
+
+def test_combined_mesh_indivisible_batch_is_an_error():
+    """Explicit --data_parallel that doesn't divide the batch raises (same
+    contract as data_parallel_mesh) instead of running D-1 idle rings."""
+    from multiagentperception_tpu.parallel import agent_parallel_mesh
+
+    cfg = {"model": {"arch": "MIMOcom", "agent_num": 4, "agent_parallel": 2},
+           "training": {"batch_size": 5}}
+    with pytest.raises(ValueError, match="not divisible"):
+        agent_parallel_mesh(cfg, n_data=3)
+
+
 def test_soft_graph_is_premask(mesh, qkv):
     q, k, v = qkv
     _, coef, soft = sharded_comm_step(q, k, v, mesh, mode="activated",

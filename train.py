@@ -35,16 +35,12 @@ def main():
 
     cfg = load_config(args.config)
 
-    import jax
+    from multiagentperception_tpu.utils import (
+        apply_platform_override,
+        enable_compile_cache,
+    )
 
-    # MAP_PLATFORM overrides the JAX platform in-process (this image's
-    # sitecustomize rewrites JAX_PLATFORMS, so the standard env var cannot
-    # express "run this CLI on cpu" — used by the CPU test-suite)
-    if os.environ.get("MAP_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["MAP_PLATFORM"])
-
-    from multiagentperception_tpu.utils import enable_compile_cache
-
+    apply_platform_override()
     enable_compile_cache()
 
     from multiagentperception_tpu.data import DataLoader, get_loader
