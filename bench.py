@@ -264,17 +264,22 @@ def bench_train(batch=20, img=512, agents=6, k_lo=1, k_hi=6, use_bf16=True,
     flops = None
     if count_flops:
         try:
-            # XLA FLOPs of the k_lo loop / k_lo ≈ one train step
-            # (fwd+bwd+adam; the carry-fold adds O(bytes) noise). Lowering
-            # the SAME program as the timing loop makes the compile a
-            # persistent-cache hit instead of a fresh full-model compile.
-            cost = make_loop(k_lo).lower(
+            # Cost-analyze ONE UNROLLED step, not the fori_loop: XLA's
+            # cost_analysis does not sum while-loop body FLOPs, so the loop
+            # program reported ~forward-only work (BENCH_r03's train_mfu_pct
+            # was 3x low vs BASELINE.md's documented ~37%). The unrolled step
+            # is the same fwd+BN+bwd+adam program the loop body runs.
+            @jax.jit
+            def one_step_flat(params, batch_stats, opt_state, images, labels):
+                state, loss = one_step((params, batch_stats, opt_state),
+                                       images, labels)
+                return state, loss
+
+            cost = one_step_flat.lower(
                 params, batch_stats, opt_state, xs, ys).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             flops = float(cost.get("flops", 0.0)) or None
-            if flops:
-                flops /= k_lo
         except Exception:  # cost analysis is best-effort
             pass
 
