@@ -81,7 +81,8 @@ _EXTENSION_KEYS: dict[str, set] = {
     # has no default, so it must be whitelisted here
     "training": {"mixed_precision", "nan_guard", "profile_dir",
                  "profile_range", "data_backend", "augmentations",
-                 "shard_data_by_process", "calib_batches"},
+                 "shard_data_by_process", "calib_batches",
+                 "device_prefetch", "grain_workers"},
 }
 
 

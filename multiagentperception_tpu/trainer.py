@@ -466,6 +466,75 @@ class Trainer:
             while True:
                 yield from self.trainloader
 
+    def _split_batch(self, data_list):
+        if self.if_commun_label != "None":
+            images, labels, commun_label = data_list
+        else:
+            (images, labels), commun_label = data_list[:2], None
+        return images, labels, commun_label
+
+    def _device_train_batches(self):
+        """Yield (x_dev, y_dev, commun_label, stream_state) with the NEXT
+        batch's host work (decode/collate + host->device transfer) overlapped
+        behind the current device step (training.device_prefetch, default
+        depth 2; 0 = synchronous).
+
+        The transfer term is real: on tunneled hosts a 512d batch costs more
+        wall-clock than the device step itself (BASELINE.md eval table), and
+        even PCIe hosts pay ~ms per batch. ``stream_state`` is the grain
+        iterator position captured in the producer immediately after pulling
+        that batch — checkpointing THIS value (not the live iterator, which
+        runs up to `depth` batches ahead) keeps preemption resume exact under
+        prefetch."""
+        depth = self.cfg["training"].get("device_prefetch")
+        depth = 2 if depth is None else int(depth)
+        has_state = hasattr(self.trainloader, "get_state")
+
+        def prepare(data_list):
+            images, labels, commun_label = self._split_batch(data_list)
+            x, y = self._put_batch(
+                self._model_inputs(images), self._labels(labels))
+            state = self.trainloader.get_state() if has_state else None
+            return x, y, commun_label, state
+
+        if depth <= 0:
+            for data_list in self._train_batches():
+                yield prepare(data_list)
+            return
+
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for data_list in self._train_batches():
+                    item = prepare(data_list)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as exc:  # surface loader errors in the consumer
+                q.put(exc)
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="train-device-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
     def _dispatch_eval(self, eval_step, data_list, batch_idx: int, base_rng):
         commun_label = None
         if self.if_commun_label != "None":
@@ -532,17 +601,13 @@ class Trainer:
         save_interval = cfg_t.get("save_interval")
         i = start_iter
 
-        for data_list in self._train_batches():
+        for x, y, _commun_label, stream_state in self._device_train_batches():
             i += 1
-            if self.if_commun_label != "None":
-                images, labels, commun_label = data_list
-            else:
-                images, labels = data_list[0], data_list[1]
+            self._consumed_stream_state = stream_state
 
             start_ts = time.time()
             if self.profile_dir and i == self.profile_range[0]:
                 jax.profiler.start_trace(self.profile_dir)
-            x, y = self._put_batch(self._model_inputs(images), self._labels(labels))
             self.state, loss = train_step(self.state, x, y)
             if self.profile_dir and i == self.profile_range[1]:
                 jax.block_until_ready(self.state.params)
@@ -646,27 +711,32 @@ class Trainer:
             else os.path.join("runs", "default")
         )
         # multi-host DP: single-writer checkpointing. State is replicated
-        # (every host holds the full PyTree), so process 0 writes for all;
-        # concurrent writers would race on the same swap path. Non-zero
-        # processes restore model state from the shared path on resume but
-        # keep their own data-stream position only if they save it — with
-        # shard_data_by_process each host's position sidecar would need a
-        # per-process path, so the stream restarts at the epoch boundary on
+        # (every host holds the full PyTree) and ALL processes call
+        # save_checkpoint — orbax's save issues internal cross-process
+        # barriers, so a process skipping the call desynchronizes the
+        # barrier stream (found by scripts/dryrun_multiprocess.py); only
+        # process 0 touches the filesystem (checkpoint.save_checkpoint).
+        # Non-zero processes restore model state from the shared path on
+        # resume but only process 0's data-stream position is saved — with
+        # shard_data_by_process the stream restarts at the epoch boundary on
         # non-zero hosts (documented limitation; grain re-shards
         # deterministically).
         save_path = os.path.join(
             logdir,
             f"{self.cfg['model']['arch']}_{self.cfg['data']['dataset']}_{name}.ckpt",
         )
-        if jax.process_index() != 0:
-            return save_path
         # checkpointable data stream (grain backend): the iterator position
         # is variable-length bytes; it rides through save_checkpoint's
         # crash-safe swap as a sidecar so the restored model state and data
         # position always pair up. Resume continues mid-epoch where the
         # reference restarts its DataLoader (reference trainer.py:59-75).
-        sidecar = (self.trainloader.get_state()
-                   if hasattr(self.trainloader, "get_state") else None)
+        # Under device prefetch the LIVE iterator runs ahead of the trained
+        # batches, so we save the position captured with the last CONSUMED
+        # batch (_device_train_batches) — falling back to the live state
+        # only outside the train loop (e.g. a save before any step).
+        sidecar = getattr(self, "_consumed_stream_state", None)
+        if sidecar is None and hasattr(self.trainloader, "get_state"):
+            sidecar = self.trainloader.get_state()
         save_checkpoint(save_path, self._ckpt_dict(i, best_iou),
                         sidecar=sidecar)
         return save_path

@@ -200,8 +200,16 @@ def test_trainer_resume_continues_midepoch(fixture_root, tmp_path, monkeypatch):
 
     save_path = trainer.train()
     assert save_path and read_sidecar(save_path) is not None
-    # the batch a continuous run would process next
-    expected = next(ltrain.persistent_iterator())
+    # the batch a continuous run would process next = batch train_iters+1 of
+    # an independent same-seed stream. (Reading ltrain's own live iterator
+    # here would be wrong: under training.device_prefetch the live iterator
+    # legitimately runs `depth` batches ahead of the consumed/checkpointed
+    # position.)
+    lref = GrainLoader(ds, 2, shuffle=True, seed=11, drop_last=True)
+    ref_it = lref.persistent_iterator()
+    next(ref_it)
+    next(ref_it)
+    expected = next(ref_it)
 
     lresume = GrainLoader(ds, 2, shuffle=True, seed=11, drop_last=True)
     trainer2 = get_trainer(cfg)(cfg, None, logger, model, loss, lresume, lval, tx)
