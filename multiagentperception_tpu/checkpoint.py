@@ -36,36 +36,57 @@ def save_checkpoint(path: str, state_dict: dict,
     its own paired data position — no crash window can pair a model state
     with another save's sidecar (directory renames are atomic and move both
     together). Orbax restore ignores the extra file.
+
+    Multi-process: ALL processes must call this (orbax's save issues
+    internal cross-process barriers — a non-zero process skipping the call
+    desynchronizes the whole barrier stream, found by
+    scripts/dryrun_multiprocess.py). Only process 0 mutates the filesystem
+    (tmp cleanup, sidecar, swap renames); explicit barriers bracket the
+    mutations so no process races past an in-progress swap.
     """
     import glob
     import shutil
 
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
+
+    def _barrier(tag: str) -> None:
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"save_checkpoint:{tag}")
+
     path = os.path.abspath(path)
     stage, new, old = path + ".stage", path + ".new", path + ".old"
     ckptr = ocp.StandardCheckpointer()
-    # crashed earlier saves leave orbax '*-tmp*' dirs; bound the garbage
-    for tmp in glob.glob(path + "*orbax-checkpoint-tmp*"):
-        shutil.rmtree(tmp, ignore_errors=True)
-    _rm(stage)
-    _rm(new)
+    if primary:
+        # crashed earlier saves leave orbax '*-tmp*' dirs; bound the garbage
+        for tmp in glob.glob(path + "*orbax-checkpoint-tmp*"):
+            shutil.rmtree(tmp, ignore_errors=True)
+        _rm(stage)
+        _rm(new)
+    _barrier("staged-clean")
     ckptr.save(stage, state_dict)
     ckptr.wait_until_finished()
-    if sidecar is not None:
-        with open(os.path.join(stage, SIDECAR_NAME), "wb") as f:
-            f.write(sidecar)
-    # the candidate only becomes resolvable once model + sidecar are paired
-    os.rename(stage, new)
-    _rm(old)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(new, path)
-    _rm(old)
-    # a pre-r3 save left its sidecar OUTSIDE the directory; the checkpoint
-    # it belonged to was just rotated away, so without this a data_backend
-    # switch could later pair the fresh model with that stale position
-    legacy = path + ".datastate"
-    if os.path.exists(legacy):
-        os.remove(legacy)
+    if primary:
+        if sidecar is not None:
+            with open(os.path.join(stage, SIDECAR_NAME), "wb") as f:
+                f.write(sidecar)
+        # the candidate only becomes resolvable once model + sidecar pair up
+        os.rename(stage, new)
+        _rm(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(new, path)
+        _rm(old)
+        # a pre-r3 save left its sidecar OUTSIDE the directory; the
+        # checkpoint it belonged to was just rotated away, so without this a
+        # data_backend switch could later pair the fresh model with that
+        # stale position
+        legacy = path + ".datastate"
+        if os.path.exists(legacy):
+            os.remove(legacy)
+    _barrier("swapped")
     return path
 
 

@@ -43,6 +43,18 @@ def main():
     apply_platform_override()
     enable_compile_cache()
 
+    # multi-host entry (framework extension): MAP_COORDINATOR=<host:port>
+    # MAP_NUM_PROCESSES=<P> MAP_PROCESS_ID=<i> runs this CLI as one process
+    # of a jax.distributed job (validated by scripts/dryrun_multiprocess.py)
+    if os.environ.get("MAP_COORDINATOR"):
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=os.environ["MAP_COORDINATOR"],
+            num_processes=int(os.environ["MAP_NUM_PROCESSES"]),
+            process_id=int(os.environ["MAP_PROCESS_ID"]),
+        )
+
     from multiagentperception_tpu.data import DataLoader, get_loader
     from multiagentperception_tpu.data.augmentations import get_composed_augmentations
     from multiagentperception_tpu.loss import get_loss_function
@@ -59,7 +71,19 @@ def main():
     class_iou_list: list = []
 
     for run_idx in range(args.run_time):
-        run_id = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+        now = datetime.datetime.now()
+        import jax
+
+        if jax.process_count() > 1:
+            # all processes must agree on the run dir (checkpoints resolve
+            # against it on every host): broadcast process 0's timestamp
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            epoch = multihost_utils.broadcast_one_to_all(
+                _np.int64(now.timestamp()))
+            now = datetime.datetime.fromtimestamp(int(epoch))
+        run_id = now.strftime("%Y-%m-%d-%H-%M-%S")
         if args.run_time > 1:  # fast repeats can share a timestamp second
             run_id = f"{run_id}-r{run_idx}"
         logdir = os.path.join(
@@ -115,7 +139,10 @@ def main():
 
             trainloader = GrainLoader(
                 t_dataset, batch_size, shuffle=True, drop_last=True,
-                num_workers=0, seed=seed, num_epochs=None,
+                # training.grain_workers: decode in grain worker PROCESSES
+                # (sidesteps the GIL entirely; 0 = in-process)
+                num_workers=int(cfg["training"].get("grain_workers") or 0),
+                seed=seed, num_epochs=None,
                 # multi-host DP: each jax process loads its own stream slice
                 shard_by_process=bool(
                     cfg["training"].get("shard_data_by_process")),
