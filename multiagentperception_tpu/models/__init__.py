@@ -42,6 +42,18 @@ def get_model(cfg: Mapping[str, Any], n_classes: int, agent_mesh=None):
     if name not in MODELS:
         raise KeyError(f"Model {name} not available")
 
+    if name != "MIMOcom":
+        # MIMOcom-only extension keys on another arch would otherwise no-op
+        # silently (the raw-dict schema swallows them)
+        import logging
+
+        for k in ("pallas_comm", "topk_k", "remat", "agent_parallel",
+                  "agent_parallel_train"):
+            if m.get(k):
+                logging.getLogger("multiagentperception_tpu").warning(
+                    "config: model.%s is a MIMOcom extension and is ignored "
+                    "for arch %s", k, name)
+
     # compute dtype: model.dtype ('bfloat16'|'float32') or the
     # training.mixed_precision shorthand; params/BN stats stay f32 either way
     dtype = None
@@ -87,6 +99,15 @@ def get_model(cfg: Mapping[str, Any], n_classes: int, agent_mesh=None):
     )
     if name == "MIMOcom":
         comm["use_pallas_comm"] = bool(m.get("pallas_comm"))
+        if comm["use_pallas_comm"] and agent_mesh is not None:
+            # the ring branch handles argmax_test/activated itself and
+            # returns before the Pallas branch (agents.py), so pallas_comm
+            # would be silently ignored — make the conflict loud
+            raise ValueError(
+                "model.pallas_comm and agent-axis parallelism are mutually "
+                "exclusive: the agent ring fuses the comm step itself, so "
+                "the Pallas comm kernel would be silently bypassed. Drop "
+                "model.pallas_comm or model.agent_parallel.")
         comm["remat"] = bool(m.get("remat"))
         # bandwidth-constrained top-k pruned graph (inference='topk'):
         # model.topk_k sets the per-query link budget

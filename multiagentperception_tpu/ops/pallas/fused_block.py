@@ -265,7 +265,7 @@ def fused_basic_block(
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_th, n_tw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [vec] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vec] * 6,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[scratch, pltpu.SemaphoreType.DMA],

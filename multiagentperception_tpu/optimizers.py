@@ -7,8 +7,10 @@ defaults: b1=0.9, b2=0.999, eps=1e-8).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Mapping
+from typing import Any, Callable, Mapping, NamedTuple
 
+import jax
+import jax.numpy as jnp
 import optax
 
 ScheduleOrFloat = Any
@@ -44,9 +46,67 @@ def _rmsprop(lr, alpha=0.99, eps=1e-8, momentum=0.0, **_):
     return optax.rmsprop(lr, decay=alpha, eps=eps, momentum=momentum or None)
 
 
-def _asgd(lr, weight_decay=0.0, **_):
-    # torch ASGD ~ SGD with averaging; plain SGD is the behavioral stand-in.
-    return _sgd(lr, weight_decay=weight_decay)
+class ASGDState(NamedTuple):
+    count: jnp.ndarray  # torch 'step' after its increment
+    eta: jnp.ndarray    # per-step lr, decayed by (1 + lambd*lr*t)^alpha
+    mu: jnp.ndarray     # averaging rate, 1 until t exceeds t0
+    ax: Any             # Polyak-averaged params (torch keeps but never loads)
+
+
+def _asgd(lr, lambd=1e-4, alpha=0.75, t0=1e6, weight_decay=0.0, **_):
+    """torch.optim.ASGD semantics (reference registry
+    /root/reference/ptsemseg/optimizers/__init__.py:9):
+
+        p <- p*(1 - lambd*eta) - eta*(g + weight_decay*p)
+        ax <- p                         (mu == 1, i.e. t <= t0)
+              ax + mu*(p - ax)          (t > t0)
+        eta <- lr / (1 + lambd*lr*t)^alpha ;  mu <- 1/max(1, t - t0)
+
+    ``eta``/``mu`` applied at step t are the values computed at the end of
+    step t-1 (state-carried, like torch); with the default t0=1e6 the
+    averaging is inactive for any realistic run and ``ax`` tracks ``p``
+    exactly — torch likewise only *stores* ax, the checkpointed model uses
+    p. Numerical agreement with torch.optim.ASGD is pinned in
+    tests/test_services.py."""
+
+    def init_fn(params):
+        lr0 = lr(0) if callable(lr) else lr
+        return ASGDState(
+            count=jnp.zeros([], jnp.int32),
+            eta=jnp.asarray(lr0, jnp.float32),
+            mu=jnp.ones([], jnp.float32),
+            ax=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("asgd requires params (tx.update(..., params))")
+        eta, mu = state.eta, state.mu
+        count = state.count + 1
+
+        def delta(g, p):
+            g = g + weight_decay * p if weight_decay else g
+            return (-lambd * eta * p - eta * g).astype(p.dtype)
+
+        new_updates = jax.tree_util.tree_map(delta, updates, params)
+
+        def avg(ax, p, d):
+            p_new = p + d
+            return jnp.where(mu != 1.0, ax + mu * (p_new - ax), p_new)
+
+        ax = jax.tree_util.tree_map(avg, state.ax, params, new_updates)
+        t = count.astype(jnp.float32)
+        lr_t = lr(count) if callable(lr) else lr
+        eta_new = lr_t / (1.0 + lambd * lr_t * t) ** alpha
+        mu_new = 1.0 / jnp.maximum(1.0, t - t0)
+        return new_updates, ASGDState(
+            count=count,
+            eta=jnp.asarray(eta_new, jnp.float32),
+            mu=jnp.asarray(mu_new, jnp.float32),
+            ax=ax,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 KEY2OPT: dict[str, Callable] = {

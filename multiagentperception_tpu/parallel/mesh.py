@@ -126,9 +126,19 @@ def data_parallel_mesh(batch_size: int, n_dp: int = 0):
     import jax
 
     if not n_dp:
-        n_dp = len(jax.devices())
+        n_avail = len(jax.devices())
+        n_dp = n_avail
         while n_dp > 1 and batch_size % n_dp:
             n_dp -= 1
+        if n_dp < n_avail:
+            # auto-shrink is correct but should never be silent: a prime
+            # batch size can quietly park most of the chips
+            import logging
+
+            logging.getLogger("multiagentperception_tpu").warning(
+                "data-parallel mesh: using %d of %d devices (batch_size %d "
+                "divisibility); pick a batch divisible by the device count "
+                "to use them all", n_dp, n_avail, batch_size)
     elif batch_size % n_dp:
         raise ValueError(
             f"batch_size {batch_size} not divisible by --data_parallel {n_dp}"

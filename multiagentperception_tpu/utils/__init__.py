@@ -5,19 +5,63 @@ from multiagentperception_tpu.utils.logging import get_logger
 from multiagentperception_tpu.utils.compat import convert_state_dict
 
 
-def enable_compile_cache(path: str | None = None) -> None:
-    """Point XLA's persistent compile cache at ``path`` (default
-    ``$MAP_COMPILE_CACHE`` or /tmp/jax_cache; ``MAP_COMPILE_CACHE=off``
-    disables). Full-model compiles take minutes on small hosts; the cache
-    makes every rerun of an identical program near-instant, and it is safe
-    to share between processes (XLA keys on the serialized program)."""
+def host_fingerprint() -> str:
+    """Short hash of this host's CPU identity (model + ISA feature flags) and
+    the jax version. XLA:CPU's AOT blobs bake in target machine features; a
+    cache dir shared across host/image changes can serve a blob compiled for
+    a different CPU, which executes wrong instead of recompiling. Keying the
+    cache dir on this fingerprint makes such reuse impossible.
+
+    Note: cpu_aot_loader.cc's "+prefer-no-gather is not supported on the
+    host machine ... could lead to execution errors" warning fires even on
+    SAME-host reloads — the prefer-no-{gather,scatter} entries are XLA
+    codegen *preference* pseudo-features that the host-feature detector
+    never reports, so that warning alone does not indicate cross-host reuse
+    (verified: a cache written and read back by one host still warns). The
+    fingerprint guards against the real cross-host case."""
+    import hashlib
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        import jax
+
+        parts.append(jax.__version__)
+    except Exception:
+        pass
+    try:
+        with open("/proc/cpuinfo") as fp:
+            for line in fp:
+                if line.startswith(("model name", "flags", "Features")):
+                    parts.append(line.strip())
+                    break  # first core is representative
+            for line in fp:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        parts.append(platform.processor())
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:10]
+
+
+def enable_compile_cache(path: str | None = None,
+                         min_compile_time_secs: float = 1.0) -> None:
+    """Point XLA's persistent compile cache at a per-host-fingerprint subdir
+    of ``path`` (default ``$MAP_COMPILE_CACHE`` or /tmp/jax_cache;
+    ``MAP_COMPILE_CACHE=off`` disables). Full-model compiles take minutes on
+    small hosts; the cache makes every rerun of an identical program
+    near-instant, and it is safe to share between processes (XLA keys on the
+    serialized program). The fingerprint subdir guards against cross-host
+    reuse of CPU AOT blobs (see :func:`host_fingerprint`)."""
     import jax
 
     path = path or os.environ.get("MAP_COMPILE_CACHE", "/tmp/jax_cache")
     if path.lower() == "off":
         return
+    path = os.path.join(path, host_fingerprint())
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_time_secs)
 
 
 def apply_platform_override() -> None:
@@ -33,4 +77,5 @@ def apply_platform_override() -> None:
 
 
 __all__ = ["init_variables", "get_logger", "convert_state_dict",
-           "enable_compile_cache", "apply_platform_override"]
+           "enable_compile_cache", "apply_platform_override",
+           "host_fingerprint"]

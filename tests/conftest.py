@@ -24,9 +24,13 @@ os.environ["XLA_FLAGS"] = flags
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: repeated pytest runs skip recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compilation cache: repeated pytest runs skip recompiles. The
+# cache dir is keyed on a host fingerprint (utils.host_fingerprint) — a
+# round-3 flake traced to a /tmp/jax_cache surviving an image change and
+# serving an AOT blob compiled for different CPU features.
+from multiagentperception_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(min_compile_time_secs=0.5)
 
 import numpy as np
 import pytest

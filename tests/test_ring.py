@@ -86,13 +86,46 @@ def test_mimocom_agent_mesh_e2e(mesh, rng, inference):
 
 
 @pytest.mark.slow
-def test_ring_training_equivalence(mesh, rng):
+def test_ring_training_equivalence():
+    """Process-isolated wrapper: under a contended full-suite run, XLA:CPU's
+    collective rendezvous can starve an 8-virtual-device program (round-3
+    flake — failed file-level, passed in isolation), so the real check
+    (run_ring_training_equivalence below) executes in a FRESH interpreter
+    with nothing else competing for the core."""
+    import os
+    import subprocess
+    import sys
+
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    env = {**os.environ,
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8 "
+                        "--xla_cpu_collective_call_terminate_timeout_seconds"
+                        "=600"}
+    code = (
+        "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.path.insert(0, {tests_dir!r}); "
+        f"sys.path.insert(0, {os.path.dirname(tests_dir)!r}); "
+        "from multiagentperception_tpu.utils import enable_compile_cache; "
+        "enable_compile_cache(min_compile_time_secs=0.5); "
+        "from test_ring import run_ring_training_equivalence; "
+        "run_ring_training_equivalence(); print('RING-TRAIN-EQ OK')"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0 and "RING-TRAIN-EQ OK" in proc.stdout, (
+        proc.stdout[-2000:] + proc.stderr[-4000:])
+
+
+def run_ring_training_equivalence():
     """ring_train (model.agent_parallel_train): one full train-style
     value_and_grad through the agent-sharded ring — loss AND parameter
     gradients must match the dense program (sharding is a placement
     annotation; the shard_map ring's transpose is the reverse ring)."""
     import jax.numpy as jnp2
     import optax
+
+    mesh = Mesh(np.asarray(jax.devices()[:N]), ("agent",))
+    rng = np.random.default_rng(0)
 
     from multiagentperception_tpu.loss import cross_entropy2d
     from multiagentperception_tpu.models.agents import MIMOcom

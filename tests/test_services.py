@@ -189,3 +189,44 @@ class TestAverageMeter:
         m.update(1.0)
         m.update(3.0)
         assert m.avg == 2.0
+
+
+class TestASGD:
+    def test_matches_torch_asgd(self, rng):
+        """Our asgd registry entry replicates torch.optim.ASGD's parameter
+        trajectory (eta decay + lambd decay; reference registry
+        /root/reference/ptsemseg/optimizers/__init__.py:9). A large lambd
+        makes the per-step eta decay visible within a few steps."""
+        import torch
+
+        from multiagentperception_tpu.optimizers import get_optimizer
+
+        lr, lambd, wd = 0.05, 0.3, 0.01
+        w0 = rng.normal(size=(4, 3)).astype(np.float32)
+        grads = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(5)]
+
+        p = torch.nn.Parameter(torch.tensor(w0))
+        opt = torch.optim.ASGD([p], lr=lr, lambd=lambd, weight_decay=wd)
+        for g in grads:
+            opt.zero_grad()
+            p.grad = torch.tensor(g)
+            opt.step()
+        torch_w = p.detach().numpy()
+
+        cfg = normalize_config(
+            {"training": {"optimizer": {
+                "name": "asgd", "lr": lr, "lambd": lambd,
+                "weight_decay": wd}}}
+        )
+        tx = get_optimizer(cfg)
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        for g in grads:
+            updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = {"w": params["w"] + updates["w"]}
+        np.testing.assert_allclose(np.asarray(params["w"]), torch_w,
+                                   rtol=1e-5, atol=1e-6)
+        # averaging inactive below t0: ax tracks p exactly (torch stores but
+        # never loads ax; our state mirrors that)
+        np.testing.assert_allclose(np.asarray(state.ax["w"]),
+                                   np.asarray(params["w"]), rtol=1e-6)
