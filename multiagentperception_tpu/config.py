@@ -82,7 +82,7 @@ _EXTENSION_KEYS: dict[str, set] = {
     "training": {"mixed_precision", "nan_guard", "profile_dir",
                  "profile_range", "data_backend", "augmentations",
                  "shard_data_by_process", "calib_batches",
-                 "device_prefetch", "grain_workers"},
+                 "device_prefetch", "grain_workers", "watchdog_secs"},
 }
 
 

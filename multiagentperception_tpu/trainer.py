@@ -69,6 +69,53 @@ _EVAL_DEFAULT = {
 }
 
 
+class _StallWatchdog:
+    """Background thread that dumps every thread's Python stack to stderr if
+    no training progress heartbeat arrives within ``timeout_s``.
+
+    Long runs on tunneled TPU hosts can hang inside a stalled device RPC —
+    zero CPU use, no log movement, nothing to debug after the fact (this
+    image ships no gdb/py-spy). The watchdog turns that silent hang into a
+    loud, stack-attributed log event; the run can then be killed and resumed
+    from the ``training.save_interval`` 'latest' checkpoint. Diagnosis only —
+    it never kills or restarts anything itself."""
+
+    def __init__(self, timeout_s: float, logger):
+        import threading
+
+        self._timeout = float(timeout_s)
+        self._logger = logger
+        self._beat = time.time()
+        self._dumped = False
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="stall-watchdog")
+        self._thread.start()
+
+    def beat(self) -> None:
+        self._beat = time.time()
+        self._dumped = False
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _run(self) -> None:
+        import faulthandler
+        import sys
+
+        while not self._stop.wait(min(self._timeout / 4.0, 30.0)):
+            silent = time.time() - self._beat
+            if silent > self._timeout and not self._dumped:
+                self._dumped = True  # once per stall; beat() re-arms
+                self._logger.warning(
+                    "no training progress for %.0f s — likely a stalled "
+                    "device RPC (tunneled TPU) or a blocked input pipeline; "
+                    "dumping all thread stacks to stderr. If hung, kill and "
+                    "resume from the 'latest' checkpoint "
+                    "(training.save_interval).", silent)
+                faulthandler.dump_traceback(file=sys.stderr, all_threads=True)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -119,6 +166,7 @@ class Trainer:
                              or _EVAL_DEFAULT.get(self.arch))
         self.running_metrics_val = runningScore(self.n_classes)
         self.seed = seed
+        self._last_save_path: str | None = None
         self._needs_action_rng = (
             self.arch in _SELECTION
             and cfg["model"].get("shuffle_features") == "selection"
@@ -601,9 +649,29 @@ class Trainer:
         save_interval = cfg_t.get("save_interval")
         i = start_iter
 
+        # stall diagnosis (framework extension): training.watchdog_secs
+        # (default 600; 0 disables) — see _StallWatchdog
+        watchdog_secs = cfg_t.get("watchdog_secs")
+        watchdog_secs = 600.0 if watchdog_secs is None else float(watchdog_secs)
+        watchdog = (_StallWatchdog(watchdog_secs, self.logger)
+                    if watchdog_secs > 0 else None)
+        try:
+            self._train_loop(cfg_t, train_step, val_loss_meter, time_meter,
+                             save_interval, i, best_iou, watchdog)
+        finally:
+            if watchdog is not None:
+                watchdog.stop()
+        return self._last_save_path
+
+    def _train_loop(self, cfg_t, train_step, val_loss_meter, time_meter,
+                    save_interval, i, best_iou, watchdog):
+        save_path = None
+
         for x, y, _commun_label, stream_state in self._device_train_batches():
             i += 1
             self._consumed_stream_state = stream_state
+            if watchdog is not None:
+                watchdog.beat()
 
             start_ts = time.time()
             if self.profile_dir and i == self.profile_range[0]:
@@ -648,7 +716,7 @@ class Trainer:
 
             if i >= cfg_t["train_iters"]:
                 break
-        return save_path
+        self._last_save_path = save_path
 
     def _validate(self, i: int, val_loss_meter: averageMeter):
         eval_step = self._eval_step_fn(None, with_loss=True)
@@ -744,11 +812,32 @@ class Trainer:
     def _save_best(self, i: int, best_iou: float) -> str:
         return self._save_ckpt("best_model", i, best_iou)
 
+    def _abstract_ckpt_dict(self) -> dict:
+        """Shape/dtype-only template matching _ckpt_dict's tree — used as the
+        orbax restore target so resume never reads the (about-to-be-
+        overwritten) initialized state back from the device. On tunneled TPU
+        hosts that readback is ~340 MB of pure waste and was observed to hang
+        outright on a degraded tunnel (diagnosed via training.watchdog_secs +
+        SIGUSR1; see ARCHITECTURE.md round-4 notes)."""
+        def abstract(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), tree)
+
+        return {
+            "epoch": jax.ShapeDtypeStruct((), np.asarray(0).dtype),
+            "model_state": {
+                "params": abstract(self.state.params),
+                "batch_stats": abstract(self.state.batch_stats),
+            },
+            "optimizer_state": abstract(self.state.opt_state),
+            "best_iou": jax.ShapeDtypeStruct((), np.asarray(0.0).dtype),
+        }
+
     def _restore_full(self, path: str) -> float:
         """Restore the full training state; returns the checkpoint's
         best-so-far val mIoU so resumed runs don't overwrite the best
         checkpoint with a worse one."""
-        restored = load_checkpoint(path, target=self._ckpt_dict(0, 0.0))
+        restored = load_checkpoint(path, target=self._abstract_ckpt_dict())
         self.state = self.state.replace(
             step=jnp.asarray(int(restored["epoch"]), jnp.int32),
             params=restored["model_state"]["params"],

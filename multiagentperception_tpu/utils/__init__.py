@@ -64,6 +64,23 @@ def enable_compile_cache(path: str | None = None,
                       min_compile_time_secs)
 
 
+def enable_hang_debug() -> None:
+    """Register SIGUSR1 to dump every thread's Python stack to stderr
+    (``kill -USR1 <pid>``). Long runs on tunneled TPU hosts can hang inside
+    a stalled device RPC with zero CPU use and no log movement; without a
+    debugger in the image (no gdb/py-spy), a signal-triggered
+    ``faulthandler`` dump is the only way to see where. Harmless no-op on
+    platforms without SIGUSR1."""
+    import faulthandler
+    import signal
+
+    if hasattr(signal, "SIGUSR1"):
+        try:
+            faulthandler.register(signal.SIGUSR1, all_threads=True)
+        except (ValueError, RuntimeError):
+            pass  # non-main thread or restricted environment
+
+
 def apply_platform_override() -> None:
     """Honor ``MAP_PLATFORM=<cpu|tpu>`` with an in-process
     ``jax_platforms`` update — this image's sitecustomize rewrites the
@@ -78,4 +95,4 @@ def apply_platform_override() -> None:
 
 __all__ = ["init_variables", "get_logger", "convert_state_dict",
            "enable_compile_cache", "apply_platform_override",
-           "host_fingerprint"]
+           "enable_hang_debug", "host_fingerprint"]

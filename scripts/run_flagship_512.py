@@ -117,11 +117,15 @@ def main():
         print(f"sustained end-to-end train throughput: {steady:.1f} frames/s "
               f"(median of {len(times)} print-interval readings, incl. input "
               f"pipeline + transfers)")
-    mious = re.findall(r"Mean IoU : \t([0-9.]+)", text)
+    # print_score emits a header row ("... Mean IoU : \t") and a VALUES row
+    # beneath it whose last number is the mIoU; each validation prints three
+    # tables (Normal / Noise / Overall) in that order — take every third.
+    value_rows = re.findall(r"Mean IoU : \t\s*\n([ 0-9.\-]+)", text)
+    mious = [float(row.split()[-1]) for row in value_rows if row.split()]
+    overall = mious[2::3] if len(mious) >= 3 else mious
     whens = re.findall(r"when2com accuracy:([0-9.eE+-]+)", text)
-    if mious:
-        print(f"val mIoU trajectory (every val_interval): "
-              f"{[float(m) for m in mious]}")
+    if overall:
+        print(f"val Overall mIoU trajectory (every val_interval): {overall}")
     if whens:
         print(f"when2com selection accuracy trajectory: "
               f"{[float(w) for w in whens]}")

@@ -36,10 +36,12 @@ def main():
     from multiagentperception_tpu.utils import (
         apply_platform_override,
         enable_compile_cache,
+        enable_hang_debug,
     )
 
     apply_platform_override()
     enable_compile_cache()
+    enable_hang_debug()
 
     import numpy as np
 

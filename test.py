@@ -45,10 +45,12 @@ def main():
     from multiagentperception_tpu.utils import (
         apply_platform_override,
         enable_compile_cache,
+        enable_hang_debug,
     )
 
     apply_platform_override()
     enable_compile_cache()
+    enable_hang_debug()
 
     import logging
 

@@ -230,3 +230,26 @@ class TestASGD:
         # never loads ax; our state mirrors that)
         np.testing.assert_allclose(np.asarray(state.ax["w"]),
                                    np.asarray(params["w"]), rtol=1e-6)
+
+
+class TestHangDebug:
+    def test_sigusr1_dumps_stacks_without_dying(self):
+        """enable_hang_debug registers a faulthandler on SIGUSR1: the process
+        dumps every thread's stack to stderr and keeps running (the hung-run
+        diagnosis path for stalled device RPCs on tunneled hosts)."""
+        import subprocess
+        import sys
+
+        code = (
+            "from multiagentperception_tpu.utils import enable_hang_debug\n"
+            "import os, signal, time\n"
+            "enable_hang_debug()\n"
+            "os.kill(os.getpid(), signal.SIGUSR1)\n"
+            "time.sleep(0.2)\n"
+            "print('alive')\n"
+        )
+        res = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=60)
+        assert res.returncode == 0, res.stderr
+        assert "alive" in res.stdout
+        assert "Current thread" in res.stderr  # faulthandler stack header

@@ -356,3 +356,35 @@ def test_checkpoint_single_writer_under_multihost(fixture_root, tmp_path,
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     path = trainer._save_ckpt("latest", 1, 0.5)
     assert os.path.isdir(path)
+
+
+class TestStallWatchdog:
+    def test_dumps_once_per_stall_and_rearms_on_beat(self, capfd):
+        """_StallWatchdog: a silent period past the timeout produces exactly
+        one warning + a faulthandler all-thread stack dump on stderr; beat()
+        re-arms it for the next stall (the tunneled-TPU hang diagnosis path,
+        training.watchdog_secs)."""
+        import time as _time
+
+        from multiagentperception_tpu.trainer import _StallWatchdog
+
+        class Rec:
+            def __init__(self):
+                self.msgs = []
+
+            def warning(self, msg, *args):
+                self.msgs.append(msg % args)
+
+        log = Rec()
+        wd = _StallWatchdog(0.3, log)
+        try:
+            _time.sleep(1.0)
+            assert len(log.msgs) == 1, log.msgs  # once per stall, not per tick
+            assert "no training progress" in log.msgs[0]
+            wd.beat()  # re-arm
+            _time.sleep(1.0)
+            assert len(log.msgs) == 2
+        finally:
+            wd.stop()
+        err = capfd.readouterr().err
+        assert "Current thread" in err or "Thread 0x" in err

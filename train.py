@@ -38,10 +38,12 @@ def main():
     from multiagentperception_tpu.utils import (
         apply_platform_override,
         enable_compile_cache,
+        enable_hang_debug,
     )
 
     apply_platform_override()
     enable_compile_cache()
+    enable_hang_debug()
 
     # multi-host entry (framework extension): MAP_COORDINATOR=<host:port>
     # MAP_NUM_PROCESSES=<P> MAP_PROCESS_ID=<i> runs this CLI as one process
