@@ -82,7 +82,8 @@ _EXTENSION_KEYS: dict[str, set] = {
     "training": {"mixed_precision", "nan_guard", "profile_dir",
                  "profile_range", "data_backend", "augmentations",
                  "shard_data_by_process", "calib_batches",
-                 "device_prefetch", "grain_workers", "watchdog_secs"},
+                 "device_prefetch", "grain_workers", "watchdog_secs",
+                 "rss_limit_gb"},
 }
 
 

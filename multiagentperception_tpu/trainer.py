@@ -53,7 +53,7 @@ from multiagentperception_tpu.parallel.mesh import (
     param_shardings,
     replicate_sharding,
 )
-from multiagentperception_tpu.utils import init_variables
+from multiagentperception_tpu.utils import host_rss_gb, init_variables, reexec_self
 
 N_CLASSES = 11  # hard-coded in every reference trainer (trainer.py:44, ...)
 
@@ -126,6 +126,10 @@ class TrainState(struct.PyTreeNode):
 
 class Trainer:
     """Architecture-parametrized trainer/evaluator."""
+
+    # injection point for training.rss_limit_gb's restart (tests substitute
+    # a recorder; production execs a fresh resumed process — utils.reexec_self)
+    _reexec_fn = staticmethod(reexec_self)
 
     def __init__(
         self,
@@ -667,6 +671,23 @@ class Trainer:
                     save_interval, i, best_iou, watchdog):
         save_path = None
 
+        # self-healing host-memory limit (framework extension):
+        # training.rss_limit_gb — when the process RSS crosses the limit,
+        # checkpoint 'latest' and exec a fresh process that resumes exactly.
+        # Exists because this image's tunneled TPU backend leaks host memory
+        # per transfer (~21 MB/iter at 512², native, unfixable from Python);
+        # without it any long run is OOM-killed mid-iteration (observed at
+        # iter 12800/20000 of the flagship run). See utils.reexec_self.
+        rss_limit = float(cfg_t.get("rss_limit_gb") or 0.0)
+        if rss_limit and jax.process_count() > 1:
+            # exec'ing one process of a jax.distributed job would desync the
+            # collective/barrier stream on the other hosts
+            self.logger.warning(
+                "training.rss_limit_gb is single-process only; disabling "
+                "(process_count=%d)", jax.process_count())
+            rss_limit = 0.0
+        rss_baseline_logged = False
+
         for x, y, _commun_label, stream_state in self._device_train_batches():
             i += 1
             self._consumed_stream_state = stream_state
@@ -713,6 +734,30 @@ class Trainer:
 
             if save_interval and i % int(save_interval) == 0:
                 self._save_ckpt("latest", i, best_iou)
+
+            if rss_limit and i < cfg_t["train_iters"]:
+                rss = host_rss_gb()
+                if not rss_baseline_logged:
+                    rss_baseline_logged = True
+                    if rss >= rss_limit:
+                        # a limit below the post-compile working set would
+                        # exec-loop forever — refuse it instead
+                        self.logger.warning(
+                            "training.rss_limit_gb=%.1f is below this "
+                            "process's working RSS %.2f GiB; disabling the "
+                            "restart guard", rss_limit, rss)
+                        rss_limit = 0.0
+                elif rss > rss_limit:
+                    path = self._save_ckpt("latest", i, best_iou)
+                    self.logger.warning(
+                        "RSS %.2f GiB > training.rss_limit_gb=%.1f at iter "
+                        "%d: checkpointed '%s', re-exec'ing to shed the "
+                        "leaked host memory", rss, rss_limit, i, path)
+                    if self.writer is not None:
+                        self.writer.flush()
+                    self._reexec_fn(path)  # never returns in production
+                    self._last_save_path = save_path
+                    return
 
             if i >= cfg_t["train_iters"]:
                 break

@@ -152,3 +152,53 @@ class TestTrainCLI:
         )
         assert r.returncode != 0
         assert "--model_path" in r.stderr
+
+
+class TestReexecHandshake:
+    def test_reexec_env_rejoins_run_and_resumes(self, workdir):
+        """train.py's side of the rss_limit_gb restart (utils.reexec_self):
+        a process started with MAP_REEXEC_RESUME/LOGDIR/RUN_IDX — exactly the
+        environment the exec'd image inherits — must reuse the original run
+        directory and continue from the checkpointed iter instead of
+        starting a fresh timestamped run at iter 0."""
+        cfg = yaml.safe_load(open(workdir / "smoke.yml"))
+        cfg["model"] = {"arch": "Single_agent", "agent_num": 6,
+                        "enc_backbone": "resnet_encoder",
+                        "dec_backbone": "simple_decoder",
+                        "feat_squeezer": -1, "feat_channel": 512,
+                        "multiple_output": True}
+        cfg["data"]["commun_label"] = "None"
+        cfg["training"]["save_interval"] = 1
+        with open(workdir / "rss.yml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "train.py"),
+             "--config", "rss.yml"],
+            cwd=workdir, env=_env(), capture_output=True, text=True,
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        logdir = r.stdout.split("RUNDIR: ")[1].splitlines()[0].strip()
+        latest = os.path.join(str(workdir), logdir,
+                              "Single_agent_airsim_latest.ckpt")
+        assert os.path.exists(latest)
+
+        # "after the exec": same argv, handshake env set, a larger budget
+        cfg["training"]["train_iters"] = 4
+        with open(workdir / "rss.yml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        env = _env()
+        env["MAP_REEXEC_RESUME"] = latest
+        env["MAP_REEXEC_LOGDIR"] = logdir
+        env["MAP_REEXEC_RUN_IDX"] = "0"
+        r2 = subprocess.run(
+            [sys.executable, os.path.join(REPO, "train.py"),
+             "--config", "rss.yml"],
+            cwd=workdir, env=env, capture_output=True, text=True,
+            timeout=900,
+        )
+        assert r2.returncode == 0, r2.stderr[-3000:]
+        assert f"RUNDIR: {logdir}" in r2.stdout  # rejoined, no new dir
+        assert "Loaded checkpoint" in r2.stdout + r2.stderr
+        assert "Iter [4/4]" in r2.stdout  # continued 3..4, not 1..4
+        assert "Iter [1/4]" not in r2.stdout

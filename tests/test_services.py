@@ -253,3 +253,15 @@ class TestHangDebug:
         assert res.returncode == 0, res.stderr
         assert "alive" in res.stdout
         assert "Current thread" in res.stderr  # faulthandler stack header
+
+
+class TestHostRss:
+    def test_reads_positive_rss(self):
+        """host_rss_gb: a running CPython interpreter resides in at least a
+        few MB; the /proc reader must see it (fast path of the
+        training.rss_limit_gb restart guard)."""
+        from multiagentperception_tpu.utils import host_rss_gb
+
+        rss = host_rss_gb()
+        assert rss > 0.005  # > 5 MB
+        assert rss < 1024.0  # sane upper bound

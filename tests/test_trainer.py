@@ -388,3 +388,68 @@ class TestStallWatchdog:
             wd.stop()
         err = capfd.readouterr().err
         assert "Current thread" in err or "Thread 0x" in err
+
+
+class TestRssLimit:
+    """training.rss_limit_gb: the self-healing restart for the tunneled
+    backend's native host-memory leak (utils.reexec_self). The trainer must
+    checkpoint 'latest' and invoke the re-exec hook when RSS crosses the
+    limit — and refuse a limit below the post-compile working set instead of
+    exec-looping."""
+
+    def _fake_rss(self, values):
+        it = iter(values)
+        last = [values[-1]]
+
+        def fake():
+            try:
+                last[0] = next(it)
+            except StopIteration:
+                pass
+            return last[0]
+
+        return fake
+
+    def test_trigger_checkpoints_and_calls_reexec(self, fixture_root,
+                                                  tmp_path, monkeypatch):
+        import multiagentperception_tpu.trainer as trainer_mod
+
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg("Single_agent", fixture_root, tmp_path,
+                   multiple_output=True)
+        cfg["training"]["train_iters"] = 4
+        cfg["training"]["rss_limit_gb"] = 1.0
+        # baseline below the limit, then a leak pushes past it
+        monkeypatch.setattr(trainer_mod, "host_rss_gb",
+                            self._fake_rss([0.5, 2.0]))
+        trainer, _ = _build(cfg)
+        calls = []
+        trainer._reexec_fn = calls.append
+        trainer.train()
+        assert len(calls) == 1
+        ckpt = calls[0]
+        assert ckpt.endswith("_latest.ckpt") and os.path.exists(ckpt)
+        # stopped at the trigger iter (2), not train_iters
+        assert int(trainer.state.step) == 2
+        # the checkpoint pairs with that iter — a fresh exec resumes exactly
+        from multiagentperception_tpu.checkpoint import load_checkpoint
+
+        assert int(load_checkpoint(ckpt)["epoch"]) == 2
+
+    def test_limit_below_working_set_disables(self, fixture_root, tmp_path,
+                                              monkeypatch):
+        import multiagentperception_tpu.trainer as trainer_mod
+
+        monkeypatch.chdir(tmp_path)
+        cfg = _cfg("Single_agent", fixture_root, tmp_path,
+                   multiple_output=True)
+        cfg["training"]["train_iters"] = 3
+        cfg["training"]["rss_limit_gb"] = 1.0
+        monkeypatch.setattr(trainer_mod, "host_rss_gb",
+                            self._fake_rss([2.0]))
+        trainer, _ = _build(cfg)
+        calls = []
+        trainer._reexec_fn = calls.append
+        trainer.train()
+        assert calls == []  # disabled, never exec'd
+        assert int(trainer.state.step) == 3  # ran to completion

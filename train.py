@@ -72,7 +72,23 @@ def main():
     score_list: list = []
     class_iou_list: list = []
 
-    for run_idx in range(args.run_time):
+    # re-exec handshake for training.rss_limit_gb (utils.reexec_self): a
+    # restarted process rejoins its original run directory and resumes from
+    # the checkpoint written just before the exec. MAP_REEXEC_RESUME is set
+    # only by reexec_self; LOGDIR/RUN_IDX are exported below at run start
+    # and ride through the exec'd environment.
+    reexec_resume = os.environ.pop("MAP_REEXEC_RESUME", None)
+    reexec_logdir = os.environ.get("MAP_REEXEC_LOGDIR")
+    reexec_run_idx = int(os.environ.get("MAP_REEXEC_RUN_IDX", "0") or 0)
+    if reexec_resume and reexec_run_idx > 0:
+        # per-run scores of the runs completed before the exec are gone;
+        # the aggregate below covers only the runs since the last restart
+        print(f"resumed after re-exec: aggregate will cover runs "
+              f"{reexec_run_idx}..{args.run_time - 1} only")
+    orig_resume = cfg["training"].get("resume")
+
+    for run_idx in range(reexec_run_idx if reexec_resume else 0,
+                         args.run_time):
         now = datetime.datetime.now()
         import jax
 
@@ -88,9 +104,17 @@ def main():
         run_id = now.strftime("%Y-%m-%d-%H-%M-%S")
         if args.run_time > 1:  # fast repeats can share a timestamp second
             run_id = f"{run_id}-r{run_idx}"
-        logdir = os.path.join(
-            "runs", os.path.basename(args.config)[:-4], str(run_id)
-        )
+        if reexec_resume and run_idx == reexec_run_idx and reexec_logdir:
+            logdir = reexec_logdir  # rejoin the pre-exec run directory
+            cfg["training"]["resume"] = reexec_resume
+        else:
+            logdir = os.path.join(
+                "runs", os.path.basename(args.config)[:-4], str(run_id)
+            )
+            cfg["training"]["resume"] = orig_resume
+        # exported so a later rss_limit_gb re-exec can rejoin this run
+        os.environ["MAP_REEXEC_LOGDIR"] = logdir
+        os.environ["MAP_REEXEC_RUN_IDX"] = str(run_idx)
         os.makedirs(logdir, exist_ok=True)
         try:
             from tensorboardX import SummaryWriter
