@@ -223,12 +223,16 @@ class Trainer:
     # ------------------------------------------------------------------
     # state / jit
     # ------------------------------------------------------------------
-    def _init_state(self, example_images: np.ndarray) -> TrainState:
+    def _init_rngs(self) -> dict:
         rngs = {"params": jax.random.PRNGKey(self.seed)}
         if self._needs_action_rng:
             rngs["action"] = jax.random.PRNGKey(self.seed + 1)
+        return rngs
+
+    def _init_state(self, example_images: np.ndarray) -> TrainState:
         x = jnp.asarray(self._model_inputs(example_images))
-        variables = init_variables(self.model, rngs, x, **self._apply_kwargs(True))
+        variables = init_variables(self.model, self._init_rngs(), x,
+                                   **self._apply_kwargs(True))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
@@ -239,17 +243,47 @@ class Trainer:
             opt_state=opt_state,
             rng=jax.random.PRNGKey(self.seed + 2),
         )
-        if self.mesh is not None:
-            rep = replicate_sharding(self.mesh)
-            shardings = TrainState(
-                step=rep,
-                params=param_shardings(self.mesh, params),
-                batch_stats=jax.tree_util.tree_map(lambda _: rep, batch_stats),
-                opt_state=jax.tree_util.tree_map(lambda _: rep, opt_state),
-                rng=rep,
-            )
-            state = jax.device_put(state, shardings)
-        return state
+        return self._place_state(state)
+
+    def _abstract_state(self, example_images: np.ndarray) -> TrainState:
+        """_init_state's tree as shape/dtype skeletons with ZERO device work
+        (jax.eval_shape — no compile, no execution, no transfers). Used when
+        a resume checkpoint is about to overwrite the state anyway: the real
+        init's compile+run through the tunneled backend cost ~20 min per
+        restart, all thrown away (found by the flagship run's rss_limit_gb
+        restarts — the restarted image sat in `int(self.state.step)` waiting
+        for the discarded init to drain). `rng` stays a real key: it is not
+        checkpointed (_ckpt_dict), so resumed runs use it directly."""
+        import functools
+
+        x_np = np.asarray(self._model_inputs(example_images))
+        x = jax.ShapeDtypeStruct(x_np.shape, x_np.dtype)
+        init = functools.partial(self.model.init, **self._apply_kwargs(True))
+        variables = jax.eval_shape(init, self._init_rngs(), x)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = jax.eval_shape(self.tx.init, params)
+        return TrainState(
+            step=jax.ShapeDtypeStruct((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            rng=jax.random.PRNGKey(self.seed + 2),
+        )
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        if self.mesh is None:
+            return state
+        rep = replicate_sharding(self.mesh)
+        shardings = TrainState(
+            step=rep,
+            params=param_shardings(self.mesh, state.params),
+            batch_stats=jax.tree_util.tree_map(
+                lambda _: rep, state.batch_stats),
+            opt_state=jax.tree_util.tree_map(lambda _: rep, state.opt_state),
+            rng=rep,
+        )
+        return jax.device_put(state, shardings)
 
     def _put_batch(self, *arrays):
         if self.mesh is None:
@@ -625,23 +659,27 @@ class Trainer:
         start_iter = 0
         save_path = None
 
+        # resolve resume FIRST: when a checkpoint will overwrite the state
+        # anyway, build only its shape skeleton (_abstract_state) instead of
+        # compiling+running a device init whose result is discarded —
+        # through the tunneled backend that waste was ~20 min per
+        # rss_limit_gb restart. Swap-state resolution handles runs preempted
+        # MID-SAVE ('.new'/'.old', checkpoint.resolve_checkpoint).
+        resume = cfg_t.get("resume")
+        resolved = resolve_checkpoint(str(resume)) if resume is not None else None
         if self.state is None:
-            self.state = self._init_state(self._example_images(self.trainloader))
+            example = self._example_images(self.trainloader)
+            self.state = (self._abstract_state(example) if resolved is not None
+                          else self._init_state(example))
 
         best_iou = -100.0
-        resume = cfg_t.get("resume")
-        if resume is not None:
-            # resolve through the crash-safe swap states: a run preempted
-            # MID-SAVE leaves the newest complete checkpoint at '.new' or
-            # '.old' (checkpoint.resolve_checkpoint)
-            resolved = resolve_checkpoint(str(resume))
-            if resolved is not None:
-                best_iou = self._restore_full(resolved)
-                start_iter = int(self.state.step)
-                self.logger.info("Loaded checkpoint '%s' (iter %d)",
-                                 resolved, start_iter)
-            else:
-                self.logger.info("No checkpoint found at '%s'", resume)
+        if resolved is not None:
+            best_iou = self._restore_full(resolved)
+            start_iter = int(self.state.step)
+            self.logger.info("Loaded checkpoint '%s' (iter %d)",
+                             resolved, start_iter)
+        elif resume is not None:
+            self.logger.info("No checkpoint found at '%s'", resume)
 
         train_step = self._train_step_fn()
         val_loss_meter = averageMeter()
@@ -865,8 +903,10 @@ class Trainer:
         outright on a degraded tunnel (diagnosed via training.watchdog_secs +
         SIGUSR1; see ARCHITECTURE.md round-4 notes)."""
         def abstract(tree):
+            # .shape/.dtype (not jnp.shape) so the template also builds from
+            # a state that is itself abstract (_abstract_state resume path)
             return jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), tree)
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
 
         return {
             "epoch": jax.ShapeDtypeStruct((), np.asarray(0).dtype),
@@ -883,12 +923,15 @@ class Trainer:
         best-so-far val mIoU so resumed runs don't overwrite the best
         checkpoint with a worse one."""
         restored = load_checkpoint(path, target=self._abstract_ckpt_dict())
-        self.state = self.state.replace(
+        # restored leaves are HOST arrays: with a mesh they are placed here;
+        # single-device state uploads lazily with the first jitted step (one
+        # batched transfer instead of orbax per-leaf puts)
+        self.state = self._place_state(self.state.replace(
             step=jnp.asarray(int(restored["epoch"]), jnp.int32),
             params=restored["model_state"]["params"],
             batch_stats=restored["model_state"]["batch_stats"],
             opt_state=restored["optimizer_state"],
-        )
+        ))
         # the sidecar lives inside the resolved candidate (save_checkpoint),
         # so it always pairs with exactly this model state
         from multiagentperception_tpu.checkpoint import read_sidecar

@@ -64,8 +64,15 @@ def build_trainer(root, img, batch, *, raw, cache_dir, prefetch, n_workers=4):
 
 
 def run_loop(trainer, iters, warmup=3):
-    """Time the trainer's hot loop: device batches in, jitted steps out."""
-    import jax
+    """Time the trainer's hot loop: device batches in, jitted steps out.
+
+    Syncs with a HOST READBACK (np.asarray), not jax.block_until_ready:
+    through the tunneled TPU backend block_until_ready returns before the
+    queued work drains (verify-skill gotcha), which silently turns the
+    timed window into dispatch-only — the round-4 283 f/s prefetch number
+    was exactly that artifact (real CLI steady state: ~8 f/s, BASELINE.md
+    flagship section)."""
+    import numpy as np
 
     trainer.state = trainer._init_state(
         trainer._example_images(trainer.trainloader))
@@ -77,9 +84,9 @@ def run_loop(trainer, iters, warmup=3):
         x, y, _, _ = next(gen)
         trainer.state, loss = step(trainer.state, x, y)
         if i == warmup - 1:
-            jax.block_until_ready(loss)  # compile + cache warm complete
+            np.asarray(loss)  # compile + cache warm complete (forced drain)
             t0 = time.time()
-    jax.block_until_ready(loss)
+    np.asarray(loss)  # drain the device queue: all iters steps complete
     gen.close()
     return time.time() - t0
 
