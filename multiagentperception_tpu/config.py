@@ -83,7 +83,7 @@ _EXTENSION_KEYS: dict[str, set] = {
                  "profile_range", "data_backend", "augmentations",
                  "shard_data_by_process", "calib_batches",
                  "device_prefetch", "grain_workers", "watchdog_secs",
-                 "rss_limit_gb"},
+                 "rss_limit_gb", "steps_per_call"},
 }
 
 

@@ -45,6 +45,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def chunk_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 1 (batch) over 'data'; axis 0 is the steps-per-call chunk
+    (training.steps_per_call), which lax.scan consumes sequentially and so
+    must stay unsharded."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

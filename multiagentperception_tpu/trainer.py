@@ -50,6 +50,7 @@ from multiagentperception_tpu.ops.pallas.upsample_argmax import (
 )
 from multiagentperception_tpu.parallel.mesh import (
     batch_sharding,
+    chunk_batch_sharding,
     param_shardings,
     replicate_sharding,
 )
@@ -60,6 +61,23 @@ N_CLASSES = 11  # hard-coded in every reference trainer (trainer.py:44, ...)
 # arch families
 _COMM_4TUPLE = {"MIMOcom", "MIMOcomWho"}  # forward returns (pred, prob, action, nc)
 _COMM_SRMS = {"LearnWho2Com", "LearnWhen2Com"}
+
+
+def chunk_sizes(start_iter: int, total: int, steps_per_call: int,
+                *boundaries):
+    """Successive steps_per_call chunk sizes from ``start_iter`` to ``total``,
+    clipped so no chunk crosses a multiple of any boundary (val_interval,
+    save_interval) — validation/checkpointing then still fire at exactly the
+    configured iterations even though the device executes K steps per call."""
+    i = int(start_iter)
+    total = int(total)
+    while i < total:
+        k = min(int(steps_per_call), total - i)
+        for b in boundaries:
+            if b:
+                k = min(k, int(b) - i % int(b))
+        yield k
+        i += k
 _SELECTION = {"All_agents", "MIMO_All_agents"}  # may return (pred, action)
 _EVAL_DEFAULT = {
     "LearnWhen2Com": "activated",
@@ -300,6 +318,37 @@ class Trainer:
     def _train_step_fn(self) -> Callable:
         if "train" in self._jitted:
             return self._jitted["train"]
+        self._jitted["train"] = jax.jit(self._train_step_body(),
+                                        donate_argnums=0)
+        return self._jitted["train"]
+
+    def _train_multi_step_fn(self) -> Callable:
+        """K train steps per dispatch: ``multi(state, xs, ys)`` scans the
+        single-step body over a stacked (K, B, ...) chunk and returns
+        ``(state, losses[K])``. One host->device transfer and ONE dispatch
+        amortize the per-call RTT over K optimizer steps — the flagship 512²
+        run measured ~250 ms/iter end-to-end vs a 70-90 ms device step, the
+        difference being per-call dispatch on the tunneled backend
+        (BASELINE.md flagship section). The reference has no analog (its loop
+        is one synchronous CUDA step per Python iteration,
+        trainer.py:642-700); on directly-attached TPU hosts this is the
+        standard multi-step training-loop idiom."""
+        if "train_multi" in self._jitted:
+            return self._jitted["train_multi"]
+        body = self._train_step_body()
+
+        def multi(state: TrainState, xs, ys):
+            def scan_step(s, xy):
+                return body(s, xy[0], xy[1])
+
+            return jax.lax.scan(scan_step, state, (xs, ys))
+
+        self._jitted["train_multi"] = jax.jit(multi, donate_argnums=0)
+        return self._jitted["train_multi"]
+
+    def _train_step_body(self) -> Callable:
+        """The un-jitted ``step(state, images, labels) -> (state, loss)``
+        closure, shared by the single-step jit and the steps_per_call scan."""
         model = self.model
         tx = self.tx
         loss_fn = self.loss_fn
@@ -355,8 +404,7 @@ class Trainer:
             )
             return new_state, loss
 
-        self._jitted["train"] = jax.jit(step, donate_argnums=0)
-        return self._jitted["train"]
+        return step
 
     def _eval_step_fn(self, inference: str | None, with_loss: bool,
                       int8_scales: dict | None = None) -> Callable:
@@ -572,20 +620,27 @@ class Trainer:
         that batch — checkpointing THIS value (not the live iterator, which
         runs up to `depth` batches ahead) keeps preemption resume exact under
         prefetch."""
-        depth = self.cfg["training"].get("device_prefetch")
-        depth = 2 if depth is None else int(depth)
         has_state = hasattr(self.trainloader, "get_state")
 
-        def prepare(data_list):
-            images, labels, commun_label = self._split_batch(data_list)
-            x, y = self._put_batch(
-                self._model_inputs(images), self._labels(labels))
-            state = self.trainloader.get_state() if has_state else None
-            return x, y, commun_label, state
-
-        if depth <= 0:
+        def prepared():
             for data_list in self._train_batches():
-                yield prepare(data_list)
+                images, labels, commun_label = self._split_batch(data_list)
+                x, y = self._put_batch(
+                    self._model_inputs(images), self._labels(labels))
+                state = self.trainloader.get_state() if has_state else None
+                yield x, y, commun_label, state
+
+        return self._prefetched(prepared(), self._prefetch_depth())
+
+    def _prefetch_depth(self) -> int:
+        depth = self.cfg["training"].get("device_prefetch")
+        return 2 if depth is None else int(depth)
+
+    def _prefetched(self, gen, depth: int):
+        """Drain ``gen`` in a producer thread, keeping up to ``depth`` items
+        (already device-placed) queued ahead of the consumer."""
+        if depth <= 0:
+            yield from gen
             return
 
         import queue
@@ -596,8 +651,7 @@ class Trainer:
 
         def produce():
             try:
-                for data_list in self._train_batches():
-                    item = prepare(data_list)
+                for item in gen:
                     while not stop.is_set():
                         try:
                             q.put(item, timeout=0.5)
@@ -620,6 +674,44 @@ class Trainer:
                 yield item
         finally:
             stop.set()
+
+    def _put_chunk(self, *arrays):
+        """Place a stacked (K, B, ...) steps_per_call chunk: batch axis 1
+        sharded over 'data' when divisible (axis 0 is scanned sequentially,
+        _train_multi_step_fn)."""
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        n_data = self.mesh.shape.get("data", 1)
+        if any(a.shape[1] % n_data for a in arrays):
+            return tuple(jnp.asarray(a) for a in arrays)
+        cs = chunk_batch_sharding(self.mesh)
+        return tuple(jax.device_put(jnp.asarray(a), cs) for a in arrays)
+
+    def _device_train_chunks(self, steps_per_call: int, start_iter: int,
+                             cfg_t: dict):
+        """Yield (xs, ys, k, stream_state) stacked chunks for the multi-step
+        path, prefetched like _device_train_batches. Chunks never cross a
+        validation/save/end boundary (chunk_sizes), so those actions still
+        fire at exactly the configured iterations. ``stream_state`` is the
+        data position AFTER the chunk's last batch — checkpoints only happen
+        at chunk ends, so preemption resume stays exact."""
+        has_state = hasattr(self.trainloader, "get_state")
+
+        def prepared():
+            batches = self._train_batches()
+            for k in chunk_sizes(start_iter, int(cfg_t["train_iters"]),
+                                 steps_per_call, cfg_t["val_interval"],
+                                 cfg_t.get("save_interval")):
+                xs, ys = [], []
+                for _ in range(k):
+                    images, labels, _cl = self._split_batch(next(batches))
+                    xs.append(self._model_inputs(images))
+                    ys.append(self._labels(labels))
+                state = self.trainloader.get_state() if has_state else None
+                x, y = self._put_chunk(np.stack(xs), np.stack(ys))
+                yield x, y, k, state
+
+        return self._prefetched(prepared(), self._prefetch_depth())
 
     def _dispatch_eval(self, eval_step, data_list, batch_idx: int, base_rng):
         commun_label = None
@@ -726,38 +818,77 @@ class Trainer:
             rss_limit = 0.0
         rss_baseline_logged = False
 
-        for x, y, _commun_label, stream_state in self._device_train_batches():
-            i += 1
+        # training.steps_per_call (framework extension): K optimizer steps
+        # per device dispatch (lax.scan over a stacked chunk,
+        # _train_multi_step_fn) — amortizes the per-call dispatch RTT that
+        # made the flagship 512² run ~3x slower end-to-end than its device
+        # step (BASELINE.md flagship section). Chunks never cross a
+        # validation/save boundary, so cadence is unchanged; pick K dividing
+        # val_interval/save_interval or the straggler chunks each compile
+        # their own scan length.
+        steps_per_call = max(1, int(cfg_t.get("steps_per_call") or 1))
+        if steps_per_call > 1:
+            for b_name in ("val_interval", "save_interval"):
+                b = cfg_t.get(b_name)
+                if b and int(b) % steps_per_call:
+                    self.logger.info(
+                        "steps_per_call=%d does not divide %s=%d: boundary "
+                        "chunks will be shorter (one extra compile each)",
+                        steps_per_call, b_name, int(b))
+            multi_step = self._train_multi_step_fn()
+            stream = self._device_train_chunks(steps_per_call, i, cfg_t)
+        else:
+            multi_step = None
+            stream = ((x, y, 1, st) for x, y, _cl, st
+                      in self._device_train_batches())
+
+        print_interval = int(cfg_t["print_interval"])
+        for x, y, k, stream_state in stream:
             self._consumed_stream_state = stream_state
             if watchdog is not None:
                 watchdog.beat()
 
             start_ts = time.time()
-            if self.profile_dir and i == self.profile_range[0]:
+            if self.profile_dir and i < self.profile_range[0] <= i + k:
                 jax.profiler.start_trace(self.profile_dir)
-            self.state, loss = train_step(self.state, x, y)
-            if self.profile_dir and i == self.profile_range[1]:
+            if multi_step is None:
+                self.state, loss = train_step(self.state, x, y)
+                losses = None
+            else:
+                self.state, losses = multi_step(self.state, x, y)
+            if self.profile_dir and i < self.profile_range[1] <= i + k:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
 
-            if (i + 1) % cfg_t["print_interval"] == 0:
-                loss_val = float(loss)
-                time_meter.update(time.time() - start_ts)
-                print_str = (
-                    f"Iter [{i + 1:d}/{cfg_t['train_iters']:d}]  "
-                    f"Loss: {loss_val:.4f}  "
-                    f"Time/Image: {time_meter.avg / cfg_t['batch_size']:.4f}"
-                )
-                print(print_str)
-                self.logger.info(print_str)
-                if self.writer is not None:
-                    self.writer.add_scalar("loss/train_loss", loss_val, i + 1)
-                    if self.schedule is not None:
+            # on print iters the loss readback drains the device queue FIRST,
+            # so the timed window measures real work, not dispatch (through
+            # the tunnel only a host readback blocks — BASELINE.md artifact)
+            loss_host = None
+            if any((i + j + 2) % print_interval == 0 for j in range(k)):
+                loss_host = (np.asarray(losses) if losses is not None
+                             else np.asarray([float(loss)]))
+            per_iter = (time.time() - start_ts) / k
+
+            for j in range(k):
+                i += 1
+                time_meter.update(per_iter)
+                if (i + 1) % print_interval == 0:
+                    loss_val = float(loss_host[j])
+                    print_str = (
+                        f"Iter [{i + 1:d}/{cfg_t['train_iters']:d}]  "
+                        f"Loss: {loss_val:.4f}  "
+                        f"Time/Image: "
+                        f"{time_meter.avg / cfg_t['batch_size']:.4f}"
+                    )
+                    print(print_str)
+                    self.logger.info(print_str)
+                    if self.writer is not None:
                         self.writer.add_scalar(
-                            "lr", float(self.schedule(i)), i + 1)
-                time_meter.reset()
-            else:
-                time_meter.update(time.time() - start_ts)
+                            "loss/train_loss", loss_val, i + 1)
+                        if self.schedule is not None:
+                            self.writer.add_scalar(
+                                "lr", float(self.schedule(i)), i + 1)
+                    time_meter.reset()
 
             if i % cfg_t["val_interval"] == 0 or i == cfg_t["train_iters"]:
                 self._validate(i, val_loss_meter)

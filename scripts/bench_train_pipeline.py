@@ -91,12 +91,39 @@ def run_loop(trainer, iters, warmup=3):
     return time.time() - t0
 
 
+def run_loop_chunked(trainer, chunks, steps_per_call, warmup=1):
+    """Variant E: the multi-step path (training.steps_per_call) — one
+    lax.scan dispatch per K stacked batches (trainer._train_multi_step_fn).
+    Times ``chunks`` chunks after ``warmup``; same host-readback sync."""
+    import numpy as np
+
+    trainer.state = trainer._init_state(
+        trainer._example_images(trainer.trainloader))
+    multi = trainer._train_multi_step_fn()
+    total = (warmup + chunks) * steps_per_call
+    cfg_t = {"train_iters": total, "val_interval": total,
+             "save_interval": None}
+    gen = trainer._device_train_chunks(steps_per_call, 0, cfg_t)
+    t0 = None
+    losses = None
+    for i in range(warmup + chunks):
+        x, y, _k, _ = next(gen)
+        trainer.state, losses = multi(trainer.state, x, y)
+        if i == warmup - 1:
+            np.asarray(losses)  # compile + warm complete (forced drain)
+            t0 = time.time()
+    np.asarray(losses)  # drain the queue
+    gen.close()
+    return time.time() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2)  # stock mrms_when2com
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--steps_per_call", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -135,6 +162,18 @@ def main():
         base = results[variants[0][0]]
         print(f"{name:34s} {dt:7.2f}s  {frames / dt:7.1f} frames/s  "
               f"{base / dt:5.2f}x")
+
+    k = args.steps_per_call
+    trainer = build_trainer(root, args.img, args.batch, raw=True,
+                            cache_dir=os.path.join(tmp, "cache"), prefetch=2)
+    n_chunks = max(2, args.iters // k)
+    dt = run_loop_chunked(trainer, n_chunks, k)
+    name = f"E + steps_per_call {k}"
+    results[name] = dt
+    e_frames = args.batch * 6 * n_chunks * k
+    base = results[variants[0][0]] / frames  # per-frame
+    print(f"{name:34s} {dt:7.2f}s  {e_frames / dt:7.1f} frames/s  "
+          f"{base * e_frames / dt:5.2f}x")
     return results
 
 
