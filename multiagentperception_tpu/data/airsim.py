@@ -352,7 +352,15 @@ class AirsimDataset:
                 block = np.concatenate(
                     [scenes, masks[..., None]], axis=-1
                 ).astype(np.uint8)
-                tmp = cp + ".tmp.npy"  # np.save keeps paths ending in .npy
+                # unique-per-writer tmp name: grain prefetches __getitem__
+                # from a THREAD POOL, and an epoch wrap can decode the same
+                # frame concurrently — with a shared tmp name the losing
+                # writer's os.replace raised FileNotFoundError (observed in
+                # the flagship 512² run). The trailing .npy keeps np.save
+                # from appending its own suffix; os.replace stays atomic.
+                import threading
+
+                tmp = f"{cp}.{os.getpid()}.{threading.get_ident()}.tmp.npy"
                 np.save(tmp, block)
                 os.replace(tmp, cp)
             if (

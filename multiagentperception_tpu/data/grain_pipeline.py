@@ -120,3 +120,14 @@ class GrainLoader:
 
     def set_state(self, state: bytes) -> None:
         self.persistent_iterator().set_state(state)
+
+    def shutdown(self) -> None:
+        """Drop the persistent iterator so its worker processes/pipes are
+        released (grain exposes no explicit close; collection closes the
+        parent-side pipes and the workers exit on EOF). Called by the
+        trainer before an rss_limit_gb exec-restart; a later
+        persistent_iterator() builds a fresh stream."""
+        self._it = None
+        import gc
+
+        gc.collect()

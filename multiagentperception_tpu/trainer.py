@@ -96,12 +96,26 @@ class _StallWatchdog:
     image ships no gdb/py-spy). The watchdog turns that silent hang into a
     loud, stack-attributed log event; the run can then be killed and resumed
     from the ``training.save_interval`` 'latest' checkpoint. Diagnosis only —
-    it never kills or restarts anything itself."""
+    it never kills or restarts anything itself.
+
+    Two legitimate long silences must NOT trip it (a watchdog that cries
+    wolf trains operators to ignore it):
+
+    - the FIRST chunk, which includes compile (+ checkpoint restore on
+      resume) — ~20 min observed for the flagship 512² through the tunnel
+      vs the 600 s default timeout. Until the first beat() the threshold is
+      ``timeout_s * FIRST_GRACE``;
+    - a legitimately long ``steps_per_call`` chunk (K × step time can exceed
+      the timeout). ``beat(expected_secs=...)`` raises the next threshold to
+      3× the expected chunk duration when that exceeds the base timeout."""
+
+    FIRST_GRACE = 6.0  # pre-first-step multiplier (compile + restore window)
 
     def __init__(self, timeout_s: float, logger):
         import threading
 
         self._timeout = float(timeout_s)
+        self._next = float(timeout_s) * self.FIRST_GRACE
         self._logger = logger
         self._beat = time.time()
         self._dumped = False
@@ -110,9 +124,11 @@ class _StallWatchdog:
             target=self._run, daemon=True, name="stall-watchdog")
         self._thread.start()
 
-    def beat(self) -> None:
+    def beat(self, expected_secs: float | None = None) -> None:
         self._beat = time.time()
         self._dumped = False
+        self._next = (self._timeout if expected_secs is None
+                      else max(self._timeout, 3.0 * float(expected_secs)))
 
     def stop(self) -> None:
         self._stop.set()
@@ -123,7 +139,7 @@ class _StallWatchdog:
 
         while not self._stop.wait(min(self._timeout / 4.0, 30.0)):
             silent = time.time() - self._beat
-            if silent > self._timeout and not self._dumped:
+            if silent > self._next and not self._dumped:
                 self._dumped = True  # once per stall; beat() re-arms
                 self._logger.warning(
                     "no training progress for %.0f s — likely a stalled "
@@ -303,16 +319,48 @@ class Trainer:
         )
         return jax.device_put(state, shardings)
 
-    def _put_batch(self, *arrays):
+    def _local_stream(self) -> bool:
+        """True when each jax process loads only ITS slice of the data
+        (training.shard_data_by_process): batch_size is then PER-PROCESS and
+        the global batch is process_count × batch_size. Without it, every
+        process loads the identical global batch (same seed/order) and the
+        plain device_put path below is correct."""
+        return (jax.process_count() > 1
+                and bool(self.cfg["training"].get("shard_data_by_process")))
+
+    def _put_batch(self, *arrays, local: bool | None = None):
+        """Device-place one batch. ``local`` says whether the caller's
+        arrays are this process's SLICE of the global batch (the
+        shard_data_by_process train stream) or the full global batch
+        (non-sharded loaders — eval/val, where every process loads the same
+        data); default: the train-stream semantics."""
         if self.mesh is None:
             return tuple(jnp.asarray(a) for a in arrays)
+        bs = batch_sharding(self.mesh)
+        if local is None:
+            local = self._local_stream()
+        if local and jax.process_count() > 1:
+            # per-process LOCAL batches: device_put would treat each local
+            # batch as the GLOBAL array and silently keep only this
+            # process's addressable rows of it (half of every loaded batch
+            # dropped at P=2) — assemble the global array from the local
+            # shards instead
+            return tuple(
+                jax.make_array_from_process_local_data(bs, np.asarray(a))
+                for a in arrays)
         # a partial tail batch (loader without drop_last) may not divide the
         # data axis; place it unsharded rather than failing — the jit
         # retraces for the new shape anyway, so per-batch placement is free
         n_data = self.mesh.shape.get("data", 1)
         if any(a.shape[0] % n_data for a in arrays):
+            if jax.process_count() > 1:
+                # a process-local (unsharded) array cannot feed a jit whose
+                # state lives on the global mesh; replicate instead — every
+                # process holds the identical full batch here
+                rep = replicate_sharding(self.mesh)
+                return tuple(jax.device_put(jnp.asarray(a), rep)
+                             for a in arrays)
             return tuple(jnp.asarray(a) for a in arrays)
-        bs = batch_sharding(self.mesh)
         return tuple(jax.device_put(jnp.asarray(a), bs) for a in arrays)
 
     def _train_step_fn(self) -> Callable:
@@ -649,23 +697,32 @@ class Trainer:
         q: queue.Queue = queue.Queue(maxsize=depth)
         stop = threading.Event()
 
+        def _put(item) -> None:
+            # stop-checking put: an unbounded blocking q.put would pin the
+            # producer (and its `depth` device-placed batches) forever if
+            # the consumer exited first with the queue full
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+
         def produce():
             try:
                 for item in gen:
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
+                    _put(item)
                     if stop.is_set():
                         return
             except BaseException as exc:  # surface loader errors in the consumer
-                q.put(exc)
+                _put(exc)
 
         t = threading.Thread(target=produce, daemon=True,
                              name="train-device-prefetch")
         t.start()
+        # exposed for _shutdown_input_pipeline (rss_limit_gb re-exec): the
+        # generator's own finally only runs when the consumer loop unwinds
+        self._prefetch_stop, self._prefetch_thread = stop, t
         try:
             while True:
                 item = q.get()
@@ -675,16 +732,39 @@ class Trainer:
         finally:
             stop.set()
 
+    def _shutdown_input_pipeline(self) -> None:
+        """Best-effort teardown of the prefetch thread and the train loader
+        before an exec-restart (utils.reexec_self): stop the producer, join
+        it briefly, and ask the loader to drop its iterator (grain worker
+        processes exit when their parent-side pipes close)."""
+        stop = getattr(self, "_prefetch_stop", None)
+        if stop is not None:
+            stop.set()
+        t = getattr(self, "_prefetch_thread", None)
+        if t is not None and t.is_alive():
+            t.join(timeout=5.0)
+        shutdown = getattr(self.trainloader, "shutdown", None)
+        if callable(shutdown):
+            shutdown()
+        import gc
+
+        gc.collect()
+
     def _put_chunk(self, *arrays):
         """Place a stacked (K, B, ...) steps_per_call chunk: batch axis 1
         sharded over 'data' when divisible (axis 0 is scanned sequentially,
         _train_multi_step_fn)."""
         if self.mesh is None:
             return tuple(jnp.asarray(a) for a in arrays)
+        cs = chunk_batch_sharding(self.mesh)
+        if self._local_stream():
+            # per-process local chunks -> one global array (see _put_batch)
+            return tuple(
+                jax.make_array_from_process_local_data(cs, np.asarray(a))
+                for a in arrays)
         n_data = self.mesh.shape.get("data", 1)
         if any(a.shape[1] % n_data for a in arrays):
             return tuple(jnp.asarray(a) for a in arrays)
-        cs = chunk_batch_sharding(self.mesh)
         return tuple(jax.device_put(jnp.asarray(a), cs) for a in arrays)
 
     def _device_train_chunks(self, steps_per_call: int, start_iter: int,
@@ -843,10 +923,13 @@ class Trainer:
                       in self._device_train_batches())
 
         print_interval = int(cfg_t["print_interval"])
+        per_iter_est = None  # measured per-step wall time (None until the
+        # first completed chunk — beating before it would drop the
+        # watchdog's FIRST_GRACE threshold in the middle of the compile)
         for x, y, k, stream_state in stream:
             self._consumed_stream_state = stream_state
-            if watchdog is not None:
-                watchdog.beat()
+            if watchdog is not None and per_iter_est is not None:
+                watchdog.beat(expected_secs=k * per_iter_est)
 
             start_ts = time.time()
             if self.profile_dir and i < self.profile_range[0] <= i + k:
@@ -868,6 +951,7 @@ class Trainer:
                 loss_host = (np.asarray(losses) if losses is not None
                              else np.asarray([float(loss)]))
             per_iter = (time.time() - start_ts) / k
+            per_iter_est = per_iter
 
             for j in range(k):
                 i += 1
@@ -924,6 +1008,11 @@ class Trainer:
                         "leaked host memory", rss, rss_limit, i, path)
                     if self.writer is not None:
                         self.writer.flush()
+                    # release the input pipeline BEFORE the exec: execv skips
+                    # interpreter shutdown, and the prefetch thread / grain
+                    # loader are referenced by this very stack frame, so
+                    # reexec_self's gc.collect alone frees nothing
+                    self._shutdown_input_pipeline()
                     self._reexec_fn(path)  # never returns in production
                     self._last_save_path = save_path
                     return
@@ -998,11 +1087,10 @@ class Trainer:
         # barriers, so a process skipping the call desynchronizes the
         # barrier stream (found by scripts/dryrun_multiprocess.py); only
         # process 0 touches the filesystem (checkpoint.save_checkpoint).
-        # Non-zero processes restore model state from the shared path on
-        # resume but only process 0's data-stream position is saved — with
-        # shard_data_by_process the stream restarts at the epoch boundary on
-        # non-zero hosts (documented limitation; grain re-shards
-        # deterministically).
+        # EVERY process's data-stream position rides in the sidecar
+        # (checkpoint.pack_process_sidecars, a collective allgather), so a
+        # resumed multi-host run continues each process's stream exactly
+        # mid-epoch — validated by scripts/dryrun_multiprocess.py leg 6.
         save_path = os.path.join(
             logdir,
             f"{self.cfg['model']['arch']}_{self.cfg['data']['dataset']}_{name}.ckpt",
@@ -1019,6 +1107,13 @@ class Trainer:
         sidecar = getattr(self, "_consumed_stream_state", None)
         if sidecar is None and hasattr(self.trainloader, "get_state"):
             sidecar = self.trainloader.get_state()
+        if sidecar is not None and jax.process_count() > 1:
+            # collective: every process contributes its own position (all
+            # processes run this symmetric code path, so the allgather
+            # pairs up)
+            from multiagentperception_tpu.checkpoint import pack_process_sidecars
+
+            sidecar = pack_process_sidecars(sidecar)
         save_checkpoint(save_path, self._ckpt_dict(i, best_iou),
                         sidecar=sidecar)
         return save_path
@@ -1065,12 +1160,23 @@ class Trainer:
         ))
         # the sidecar lives inside the resolved candidate (save_checkpoint),
         # so it always pairs with exactly this model state
-        from multiagentperception_tpu.checkpoint import read_sidecar
+        from multiagentperception_tpu.checkpoint import (
+            read_sidecar,
+            unpack_process_sidecar,
+        )
 
         sidecar = read_sidecar(str(path))
-        if sidecar is not None and hasattr(self.trainloader, "set_state"):
-            self.trainloader.set_state(sidecar)
-            self.logger.info("Restored data-stream position from '%s'", path)
+        if sidecar is not None:
+            local = unpack_process_sidecar(sidecar)
+            if local is None:
+                self.logger.warning(
+                    "checkpoint '%s' saved per-process data positions for a "
+                    "different process count; data stream restarts at the "
+                    "epoch boundary", path)
+            elif hasattr(self.trainloader, "set_state"):
+                self.trainloader.set_state(local)
+                self.logger.info(
+                    "Restored data-stream position from '%s'", path)
         return float(restored["best_iou"])
 
     def load_weight(self, model_path: str):

@@ -148,7 +148,9 @@ def worker(proc_id: int, coord: str, workdir: str) -> None:
     example = np.zeros((2, 2, 32, 32, 3), np.float32)
     trainer.state = trainer._init_state(example)
     trainer.state = trainer.state.replace(step=jnp.asarray(5, jnp.int32))
-    path = trainer._save_ckpt("latest", 5, 0.5)  # proc 1: returns, no write
+    # both processes call save_checkpoint (orbax barrier symmetry); only
+    # proc 0 touches the filesystem
+    path = trainer._save_ckpt("latest", 5, 0.5)
     multihost_utils.sync_global_devices("ckpt-written")
     report["ckpt_path"] = path
     report["ckpt_exists"] = os.path.isdir(path) or os.path.isdir(path + ".new")

@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--resume", default=None,
                     help="checkpoint path to continue from")
     ap.add_argument("--workdir", default="/tmp/flagship512")
+    ap.add_argument("--steps_per_call", type=int, default=10,
+                    help="K optimizer steps per device dispatch (0/1 = "
+                         "single-step loop, the round-4 behavior)")
+    ap.add_argument("--rss_limit_gb", type=float, default=100.0,
+                    help="self-healing restart threshold (0 disables)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -81,6 +86,13 @@ def main():
     derived["training"]["data_backend"] = "grain"
     derived["training"]["save_interval"] = args.val_interval
     derived["training"]["nan_guard"] = 5
+    if args.steps_per_call > 1:
+        # K steps per dispatch: amortizes the tunneled backend's per-call
+        # RTT (the ~3x gap between the 250 ms/iter CLI steady state and the
+        # 70-90 ms device step, BASELINE.md flagship section)
+        derived["training"]["steps_per_call"] = args.steps_per_call
+    if args.rss_limit_gb:
+        derived["training"]["rss_limit_gb"] = args.rss_limit_gb
     derived["data"]["on_device_normalize"] = True
     derived["data"]["cache_decoded"] = os.path.join(args.workdir, "cache")
     if args.resume:

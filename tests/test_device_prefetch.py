@@ -122,3 +122,54 @@ def test_prefetch_stream_state_is_of_consumed_batch(fixture_root):
     it = fresh.persistent_iterator()
     nxt = np.asarray(next(it)[0]).ravel().tolist()
     assert nxt == seen[2], (nxt, seen)
+
+
+def test_producer_error_does_not_wedge_when_consumer_left():
+    """ADVICE r4: a loader error raised while the queue is full and the
+    consumer has already exited must not pin the producer thread (and its
+    `depth` device-placed batches) forever — the exception put must honor
+    the stop event like the normal path."""
+    import threading
+    import time
+
+    from multiagentperception_tpu.trainer import Trainer
+
+    trainer = Trainer.__new__(Trainer)  # _prefetched needs no trainer state
+    release = threading.Event()
+
+    def gen():
+        yield 1
+        yield 2
+        release.wait(5.0)  # let the consumer fill the queue and leave
+        raise RuntimeError("loader died")
+
+    stream = trainer._prefetched(gen(), depth=1)
+    assert next(stream) == 1
+    stream.close()  # consumer gone; queue still holds item 2
+    release.set()
+    t = trainer._prefetch_thread
+    t.join(timeout=5.0)
+    assert not t.is_alive(), "producer thread wedged on the exception put"
+
+
+def test_shutdown_input_pipeline_stops_producer():
+    """_shutdown_input_pipeline (pre-exec restart): stops the prefetch
+    thread mid-stream and calls the loader's shutdown hook."""
+    import itertools
+
+    from multiagentperception_tpu.trainer import Trainer
+
+    class FakeLoader:
+        def __init__(self):
+            self.shutdown_called = False
+
+        def shutdown(self):
+            self.shutdown_called = True
+
+    trainer = Trainer.__new__(Trainer)
+    trainer.trainloader = FakeLoader()
+    stream = trainer._prefetched(itertools.count(), depth=2)
+    assert next(stream) == 0
+    trainer._shutdown_input_pipeline()
+    assert trainer.trainloader.shutdown_called
+    assert not trainer._prefetch_thread.is_alive()
