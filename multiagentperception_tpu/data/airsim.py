@@ -147,9 +147,20 @@ def read_selection_label(root: str, label_type: str):
     """Parse gt_when_to_communicate.txt / gt_mimo_communicate.txt
     (reference: airsim_loader.py:412-438). Keys are '<traj_dir>/<frame>.png'.
     """
+    def _open_label(name, fmt):
+        path = os.path.join(root, name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"data.commun_label='{label_type}' needs the ground-truth "
+                f"communication labels at '{path}' (format: {fmt}); ship it "
+                f"with the dataset or set commun_label: None")
+        return open(path)
+
     if label_type == "when2com":
         com_label = {}
-        with open(os.path.join(root, "gt_when_to_communicate.txt")) as f:
+        with _open_label("gt_when_to_communicate.txt",
+                         "'<idx> <label> .../<traj>/<cam>/<frame>' per "
+                         "line") as f:
             for x in f:
                 parts = x.split(" ")
                 p = parts[2].strip().split("/")
@@ -157,7 +168,9 @@ def read_selection_label(root: str, label_type: str):
         return com_label
     if label_type == "mimo":
         com_label = {}
-        with open(os.path.join(root, "gt_mimo_communicate.txt")) as f:
+        with _open_label("gt_mimo_communicate.txt",
+                         "'(<noise vec>) (<link vec>) .../<traj>/<cam>/"
+                         "<frame>' per line") as f:
             for x in f:
                 p = x.split(" ")[-1].strip().split("/")
                 key = p[-3] + "/" + p[-1] + ".png"

@@ -252,6 +252,15 @@ def main(argv=None):
         print("(--model_path is not a torch .pkl file; skipping the "
               "reference-side evaluation)")
         return 0
+    import importlib.util
+
+    if importlib.util.find_spec("torch") is None:
+        # deployment hosts often ship without torch; the framework-side
+        # numbers above stand alone — degrade loudly instead of crashing
+        print("(torch is not installed on this host; skipping the "
+              "reference-side evaluation — run with --skip_torch to silence "
+              "this, or install torch to get the side-by-side tables)")
+        return 0
     print("\n[reference torch-cpu] evaluating the same checkpoint ...")
     t_loader = loader if isinstance(loader, list) else DataLoader(
         ds, batch, num_workers=2)

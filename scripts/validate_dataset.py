@@ -44,6 +44,20 @@ def main():
     cam_pos = get_cam_pos(args.target_view)
     split_subdirs = generate_split_subdirs()
 
+    # fail the root-level layout FIRST with the exact expected paths —
+    # "0 frames usable" alone doesn't tell a new user what to fix
+    if not os.path.isdir(root):
+        print(f"FAIL: dataset root '{root}' does not exist")
+        sys.exit(2)
+    for modal in IMAGE_MODES:
+        expect = os.path.join(root, modal, WEATHER)
+        if not os.path.isdir(expect):
+            print(f"FAIL: missing modality directory '{expect}'")
+            print(f"      expected layout: <root>/{modal}/{WEATHER}/"
+                  f"<trajectory>/<camera>/<frame>.png with modalities "
+                  f"{list(IMAGE_MODES)} and cameras {cam_pos}")
+            sys.exit(2)
+
     comm_label = None
     if args.commun_label != "None":
         try:
@@ -58,6 +72,7 @@ def main():
     for s in SPLITS:
         kept = dropped = 0
         missing: dict[str, int] = {}
+        example_missing: str | None = None
         unlabeled = 0
         for subdir in split_subdirs[s]:
             # subdirs are glob patterns (trajectory-name prefixes ending in
@@ -78,6 +93,10 @@ def main():
                 ]
                 if holes:
                     dropped += 1
+                    if example_missing is None:
+                        modal, cam = holes[0].split("/")
+                        example_missing = os.path.join(
+                            root, modal, WEATHER, path_dir, cam, file_name)
                     for h in holes:
                         missing[h] = missing.get(h, 0) + 1
                     continue
@@ -90,13 +109,21 @@ def main():
         if dropped:
             worst = sorted(missing.items(), key=lambda kv: -kv[1])[:3]
             line += (f", {dropped} DROPPED (incomplete); worst holes: "
-                     + ", ".join(f"{k} x{v}" for k, v in worst))
+                     + ", ".join(f"{k} x{v}" for k, v in worst)
+                     + f"; e.g. missing '{example_missing}'")
             problems += dropped
         if unlabeled:
-            line += f", {unlabeled} frames lack a {args.commun_label} label"
+            line += (f", {unlabeled} frames lack a {args.commun_label} label "
+                     f"entry (keys are '<trajectory>/<frame>.png' in "
+                     f"gt_{'mimo' if args.commun_label == 'mimo' else 'when_to'}"
+                     f"_communicate.txt)")
             problems += unlabeled
         if kept == 0:
-            line += "  <-- EMPTY: training on this split will fail"
+            probe = os.path.join(root, "scene", WEATHER,
+                                 next(iter(split_subdirs[s]), "<traj>*"),
+                                 cam_pos[0], "*.png")
+            line += (f"  <-- EMPTY: training on this split will fail "
+                     f"(no frames matched e.g. '{probe}')")
             problems += 1
         print(line)
 

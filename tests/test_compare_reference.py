@@ -16,7 +16,7 @@ SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(
 
 
 @pytest.mark.slow
-def test_compare_reference_end_to_end(tmp_path, capsys):
+def test_compare_reference_end_to_end(tmp_path, capsys, monkeypatch):
     import numpy as np
 
     from multiagentperception_tpu.compat import save_reference_checkpoint
@@ -76,3 +76,19 @@ def test_compare_reference_end_to_end(tmp_path, capsys):
     # identical weights through two frameworks: any residual is argmax
     # flips on near-tied random-init logits
     assert worst < 0.05, out
+
+    # torch-less deployment host: the runner degrades gracefully instead of
+    # crashing on the reference-side import (VERDICT r4 next #6)
+    import importlib.util as _ilu
+
+    real_find_spec = _ilu.find_spec
+    monkeypatch.setattr(
+        "importlib.util.find_spec",
+        lambda name, *a, **k: (None if name == "torch"
+                               else real_find_spec(name, *a, **k)))
+    rc = compare_reference.main([
+        "--config", cfg_path, "--model_path", pkl, "--cpu",
+        "--max_batches", "1", "--skip_validate"])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert "torch is not installed" in out2, out2

@@ -18,7 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_two_process_dryrun():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/dryrun_multiprocess.py")],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=2400,
         env={**os.environ, "MAP_COMPILE_CACHE": "off"})
     out = proc.stdout + proc.stderr
     assert proc.returncode == 0, out[-6000:]

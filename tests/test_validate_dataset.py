@@ -54,12 +54,36 @@ def test_missing_file_is_reported(root):
         r = _run(root)
         assert r.returncode == 1
         assert "DROPPED" in r.stdout and "segmentation_decoded" in r.stdout
+        # day-one actionability: the EXACT missing path is printed
+        assert victim in r.stdout, r.stdout
     finally:
         shutil.move(bak, victim)
 
 
-def test_missing_comm_labels_fail(root, tmp_path):
-    # a root with images but no gt_mimo_communicate.txt
+def test_missing_comm_labels_fail(root):
+    # images present but the ground-truth label file is absent: the error
+    # names the exact expected file path
+    gt = os.path.join(root, "gt_mimo_communicate.txt")
+    bak = gt + ".bak"
+    os.rename(gt, bak)
+    try:
+        r = _run(root, "--commun_label", "mimo")
+        assert r.returncode == 2
+        assert "comm-label" in r.stdout and gt in r.stdout, r.stdout
+    finally:
+        os.rename(bak, gt)
+
+
+def test_empty_root_names_expected_layout(tmp_path):
+    # a wrong --path fails fast with the expected directory layout, not
+    # an unexplained "0 frames usable"
     r = _run(str(tmp_path), "--commun_label", "mimo")
     assert r.returncode == 2
-    assert "comm-label" in r.stdout
+    assert "missing modality directory" in r.stdout
+    assert "expected layout" in r.stdout and "scene" in r.stdout, r.stdout
+
+
+def test_nonexistent_root_fails_fast(tmp_path):
+    r = _run(str(tmp_path / "nope"))
+    assert r.returncode == 2
+    assert "does not exist" in r.stdout
